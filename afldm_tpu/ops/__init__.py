@@ -1,0 +1,38 @@
+from .ideal_lpf import (
+    create_lpf_rect,
+    create_fixed_lpf_rect,
+    create_recon_rect,
+    lpf_rfft,
+    lpf_recon_rfft,
+    upsample_rfft,
+    downsample_rfft,
+    subpixel_shift,
+    filtered_nonlinearity,
+)
+from .bias_act import bias_act, activation_funcs
+from .upfirdn2d import (
+    upfirdn2d,
+    filter2d,
+    upsample2d,
+    downsample2d,
+    setup_filter,
+)
+
+__all__ = [
+    "create_lpf_rect",
+    "create_fixed_lpf_rect",
+    "create_recon_rect",
+    "lpf_rfft",
+    "lpf_recon_rfft",
+    "upsample_rfft",
+    "downsample_rfft",
+    "subpixel_shift",
+    "filtered_nonlinearity",
+    "bias_act",
+    "activation_funcs",
+    "upfirdn2d",
+    "filter2d",
+    "upsample2d",
+    "downsample2d",
+    "setup_filter",
+]

@@ -1,0 +1,285 @@
+"""Ideal (rect) low-pass filtering, FFT resampling and sub-pixel shifts.
+
+TPU-native reimplementation of the alias-free signal-processing core of the
+reference (``afldm/af_libs/ideal_lpf.py:12-172``). Behavioral contract:
+
+- ``create_lpf_rect(N, cutoff)``: 1D rect mask over full-FFT bin indices,
+  keeping ``[0 .. cutoff_low]`` and ``[N-cutoff_low .. N-1]`` where
+  ``cutoff_low = int((N*cutoff)//2)``; when ``N % 4 == 0`` the band-edge
+  bins are zeroed (ideal_lpf.py:12-24).
+- ``create_recon_rect``: same but band-edge bins get 0.5 when ``N % 4 == 0``
+  (ideal_lpf.py:38-49).
+- ``upsample_rfft``: zero-stuff by ``up`` then apply the reconstruction
+  filter and scale by ``up**2`` (ideal_lpf.py:137-158).
+- ``subpixel_shift``: upsample, integer roll by ``(-shift_x, -shift_y)`` on
+  (H, W), decimate (ideal_lpf.py:161-172).
+
+Design differences from the reference (results are numerically identical,
+verified by tests against the literal zero-stuff algorithm):
+
+- **Layout is NHWC** (TPU conv layout); spatial axes are (1, 2).
+- The hot paths do **spectral zero-padding / spectral folding** instead of
+  materializing the zero-stuffed signal and running FFTs at the oversampled
+  resolution. Upsampling by ``u`` costs one rfft2 at base resolution + one
+  irfft2 at ``u``x instead of a memory-bound zero-stuff + two FFTs at
+  ``u``x. Low-pass + decimate costs rfft2 at base + irfft2 at 1/2x.
+- FFTs always run in float32 (TPU FFT precision); inputs are cast in and
+  the original dtype restored on the way out.
+- Masks are numpy compile-time constants (static shapes under jit), not a
+  runtime cache dict.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Rect mask construction (compile-time, numpy)
+# ---------------------------------------------------------------------------
+
+def _rect_1d(N: int, cutoff: float, edge_value: float) -> np.ndarray:
+    """1D full-FFT rect mask. ``edge_value`` is used at the band-edge bins
+    when ``N % 4 == 0`` (0.0 for the analysis LPF, 0.5 for reconstruction)."""
+    cutoff_low = int((N * cutoff) // 2)
+    cutoff_high = int(N - cutoff_low)
+    rect = np.ones(N, dtype=np.float32)
+    rect[cutoff_low + 1: cutoff_high] = 0.0
+    if N % 4 == 0:
+        rect[cutoff_low] = edge_value
+        rect[cutoff_high % N] = edge_value
+    return rect
+
+
+def create_lpf_rect(N: int, cutoff: float = 0.5) -> np.ndarray:
+    """2D ideal low-pass rect mask (full-FFT layout), ref ideal_lpf.py:12."""
+    r = _rect_1d(N, cutoff, edge_value=0.0)
+    return r[:, None] * r[None, :]
+
+
+def create_fixed_lpf_rect(N: int, size: int) -> np.ndarray:
+    """Rect with a fixed passband of ``size`` bins, ref ideal_lpf.py:27."""
+    rect = np.ones(N, dtype=np.float32)
+    if size < N:
+        cutoff_low = size // 2
+        cutoff_high = int(N - cutoff_low)
+        rect[cutoff_low + 1: cutoff_high] = 0.0
+    return rect[:, None] * rect[None, :]
+
+
+def create_recon_rect(N: int, cutoff: float = 0.5) -> np.ndarray:
+    """Reconstruction rect (band edges 0.5 when N%4==0), ref ideal_lpf.py:38."""
+    r = _rect_1d(N, cutoff, edge_value=0.5)
+    return r[:, None] * r[None, :]
+
+
+def _rect_masks_2d(H: int, W: int, cutoff: float, edge: float) -> np.ndarray:
+    """Separable (H, W//2+1) rfft2-layout mask for possibly non-square input."""
+    rh = _rect_1d(H, cutoff, edge)
+    rw = _rect_1d(W, cutoff, edge)[: W // 2 + 1]
+    return rh[:, None] * rw[None, :]
+
+
+# ---------------------------------------------------------------------------
+# Direct (mask-multiply) filters — general path, mirrors the reference
+# ---------------------------------------------------------------------------
+
+def _fft_f32(x):
+    dtype = x.dtype
+    return x.astype(jnp.float32), dtype
+
+
+def lpf_rfft(x: jax.Array, cutoff: float = 0.5, fixed_size: int | None = None) -> jax.Array:
+    """Ideal low-pass via rfft2 over NHWC spatial axes (ref LPF_RFFT,
+    ideal_lpf.py:52-93). The reference builds the mask from the *last* axis
+    size only (square masks); we build it per-axis so non-square inputs are
+    handled exactly."""
+    xf, dtype = _fft_f32(x)
+    H, W = x.shape[1], x.shape[2]
+    if fixed_size is not None:
+        rh = create_fixed_lpf_rect(H, fixed_size)[:, 0]
+        rw = create_fixed_lpf_rect(W, fixed_size)[0, : W // 2 + 1]
+        mask = rh[:, None] * rw[None, :]
+    else:
+        mask = _rect_masks_2d(H, W, cutoff, edge=0.0)
+    X = jnp.fft.rfft2(xf, axes=(1, 2))
+    X = X * jnp.asarray(mask)[None, :, :, None]
+    out = jnp.fft.irfft2(X, s=(H, W), axes=(1, 2))
+    return out.astype(dtype)
+
+
+def lpf_recon_rfft(x: jax.Array, cutoff: float = 0.5) -> jax.Array:
+    """Reconstruction low-pass (band edges 0.5), ref LPF_RECON_RFFT
+    (ideal_lpf.py:96-134)."""
+    xf, dtype = _fft_f32(x)
+    H, W = x.shape[1], x.shape[2]
+    mask = _rect_masks_2d(H, W, cutoff, edge=0.5)
+    X = jnp.fft.rfft2(xf, axes=(1, 2))
+    X = X * jnp.asarray(mask)[None, :, :, None]
+    out = jnp.fft.irfft2(X, s=(H, W), axes=(1, 2))
+    return out.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Spectral zero-pad upsampling (fast path, exact)
+# ---------------------------------------------------------------------------
+
+def _spectral_pad(X: jax.Array, H: int, W: int, up: int) -> jax.Array:
+    """Given X = rfft2(x) of an (N,H,Wr,C) spectrum, build the rfft2 spectrum
+    of the ``up``x zero-stuffed + recon-filtered signal. Requires H, W, up
+    even (always true on the live paths: power-of-two feature maps, up=2/8).
+
+    Equivalent to: tile the spectrum ``up``x (zero-stuffing), multiply by
+    create_recon_rect(up*N, 1/up), i.e. keep the base band with band-edge
+    bins halved, and scale by up**2 (ref UpsampleRFFT, ideal_lpf.py:137-158).
+    """
+    N, _, Wr, C = X.shape
+    H2, W2 = H * up, W * up
+    hh, hw = H // 2, W // 2
+
+    # Pre-scale by up**2 and halve the Nyquist row/col once; the halved
+    # Nyquist row is then *reused* in both the top and bottom band (the
+    # spectral split of the Nyquist bin). Built from constant masks +
+    # concat/pad only — no complex scatters (which some TPU runtimes lack).
+    row_scale = np.full(H, float(up * up), dtype=np.float32)
+    row_scale[hh] *= 0.5
+    col_scale = np.ones(Wr, dtype=np.float32)
+    col_scale[hw] = 0.5
+    Xs = X * jnp.asarray(row_scale[:, None] * col_scale[None, :])[None, :, :, None]
+
+    top = Xs[:, : hh + 1]  # rows 0..hh (hh halved)
+    bot = Xs[:, hh:H]      # rows hh..H-1 -> rows H2-hh..H2-1 (hh halved)
+    mid = jnp.zeros((N, H2 - H - 1, Wr, C), dtype=X.dtype)
+    Y = jnp.concatenate([top, mid, bot], axis=1)
+    return jnp.pad(Y, ((0, 0), (0, 0), (0, W2 // 2 + 1 - Wr), (0, 0)))
+
+
+def upsample_rfft(x: jax.Array, up: int = 2, factor: int = 1,
+                  impl: str = "spectral") -> jax.Array:
+    """Ideal (sinc) upsampling by integer ``up``; NHWC.
+
+    ``impl='spectral'`` (default) does exact spectral zero-padding;
+    ``impl='ref'`` mirrors the reference literally (zero-stuff then
+    reconstruction filter then ``* up**2``, ideal_lpf.py:148-156) and also
+    supports odd sizes / ``factor != 1``.
+    """
+    if up == 1:
+        return x
+    H, W = x.shape[1], x.shape[2]
+    if impl == "spectral" and factor == 1 and H % 2 == 0 and W % 2 == 0 and up % 2 == 0:
+        xf, dtype = _fft_f32(x)
+        X = jnp.fft.rfft2(xf, axes=(1, 2))
+        Y = _spectral_pad(X, H, W, up)
+        out = jnp.fft.irfft2(Y, s=(H * up, W * up), axes=(1, 2))
+        return out.astype(dtype)
+    # Literal reference algorithm.
+    N, _, _, C = x.shape
+    z = jnp.zeros((N, H, up, W, up, C), dtype=x.dtype)
+    z = z.at[:, :, 0, :, 0, :].set(x)
+    z = z.reshape(N, H * up, W * up, C)
+    return lpf_recon_rfft(z, cutoff=factor / up) * (up * up)
+
+
+# ---------------------------------------------------------------------------
+# Spectral-fold downsampling (LPF + decimate fused, exact)
+# ---------------------------------------------------------------------------
+
+def _spectral_fold(X: jax.Array, H: int, W: int, down: int) -> jax.Array:
+    """Given X = rfft2(y) at resolution (H, W), return the rfft2 spectrum of
+    ``lpf_rfft(y, 1/down)[:, ::down, ::down, :]``. Requires H, W divisible
+    by 2*down (live paths: power-of-two maps, down=2).
+
+    The ideal LPF zeroes everything outside |f| < H/(2*down) including the
+    band edge (H % 4 == 0 rule), so decimation aliases nothing: the output
+    spectrum is the kept band scaled by 1/down per axis.
+    """
+    N, _, Wr, C = X.shape
+    Ho, Wo = H // down, W // down
+    hh, hw = Ho // 2, Wo // 2
+
+    top = X[:, :hh]                  # rows 0..hh-1 (band edge hh zeroed)
+    bot = X[:, H - hh + 1: H]        # rows H-hh+1..H-1 -> output hh+1..Ho-1
+    zero_row = jnp.zeros((N, 1, Wr, C), dtype=X.dtype)
+    Yfull = jnp.concatenate([top, zero_row, bot], axis=1)  # (N, Ho, Wr, C)
+    Y = Yfull[:, :, : hw + 1]
+    col_scale = np.full(hw + 1, 1.0 / (down * down), dtype=np.float32)
+    col_scale[hw] = 0.0  # band-edge col zeroed by the ideal LPF
+    return Y * jnp.asarray(col_scale)[None, None, :, None]
+
+
+def downsample_rfft(x: jax.Array, down: int = 2, impl: str = "spectral") -> jax.Array:
+    """Ideal low-pass then decimate: ``lpf_rfft(x, 1/down)[:, ::down, ::down]``
+    fused in the spectral domain. This is the decimation half of the
+    reference's AliasFreeDownsample2D (af_blocks.py:148-150) and
+    WarpedNonlinearity (af_blocks.py:25-26)."""
+    H, W = x.shape[1], x.shape[2]
+    if impl == "spectral" and H % (2 * down) == 0 and W % (2 * down) == 0:
+        xf, dtype = _fft_f32(x)
+        X = jnp.fft.rfft2(xf, axes=(1, 2))
+        Y = _spectral_fold(X, H, W, down)
+        out = jnp.fft.irfft2(Y, s=(H // down, W // down), axes=(1, 2))
+        return out.astype(dtype)
+    return lpf_rfft(x, cutoff=1.0 / down)[:, ::down, ::down, :]
+
+
+# ---------------------------------------------------------------------------
+# Sub-pixel shift
+# ---------------------------------------------------------------------------
+
+def subpixel_shift(images: jax.Array, up: int = 2, shift_x: int = 1,
+                   shift_y: int = 1) -> jax.Array:
+    """Fractional shift by (shift_x/up, shift_y/up) on (H, W): ideal upsample,
+    roll by (-shift_x, -shift_y), decimate (ref ideal_lpf.py:161-172; note
+    the reference rolls dims (2, 3) = (H, W) of NCHW, so shift_x moves H)."""
+    up_img = upsample_rfft(images, up=up)
+    rolled = jnp.roll(up_img, shift=(-shift_x, -shift_y), axis=(1, 2))
+    return rolled[:, ::up, ::up, :]
+
+
+# ---------------------------------------------------------------------------
+# Filtered (warped) nonlinearity — the hot op
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("act", "impl"))
+def filtered_nonlinearity(x: jax.Array, act: str = "silu",
+                          impl: str = "spectral") -> jax.Array:
+    """2x oversample -> act -> ideal LPF(1/2) -> decimate sandwich
+    (ref WarpedNonlinearity, af_blocks.py:12-28). Inputs with fewer than 4
+    dims get the plain activation (af_blocks.py:20-21).
+
+    The spectral path runs rfft2/irfft2 once at base resolution and once at
+    2x each way instead of the reference's two full round trips at 2x, and
+    skips the zero-stuff memory pass entirely.
+    """
+    act_fn = _ACTS[act]
+    if x.ndim < 4:
+        return act_fn(x)
+    H, W = x.shape[1], x.shape[2]
+    if impl == "spectral" and H % 4 == 0 and W % 4 == 0:
+        xf, dtype = _fft_f32(x)
+        X = jnp.fft.rfft2(xf, axes=(1, 2))
+        Y = _spectral_pad(X, H, W, 2)
+        hi = jnp.fft.irfft2(Y, s=(H * 2, W * 2), axes=(1, 2))
+        hi = act_fn(hi)
+        Xh = jnp.fft.rfft2(hi, axes=(1, 2))
+        Z = _spectral_fold(Xh, H * 2, W * 2, 2)
+        out = jnp.fft.irfft2(Z, s=(H, W), axes=(1, 2))
+        return out.astype(dtype)
+    x = upsample_rfft(x, up=2, impl="ref")
+    x = act_fn(x)
+    x = lpf_rfft(x, cutoff=0.5)
+    return x[:, ::2, ::2, :]
+
+
+_ACTS = {
+    "silu": jax.nn.silu,
+    "swish": jax.nn.silu,
+    "gelu": jax.nn.gelu,
+    "relu": jax.nn.relu,
+    "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    "leaky_relu": lambda x: jax.nn.leaky_relu(x, 0.2),
+    "tanh": jnp.tanh,
+    "linear": lambda x: x,
+}

@@ -1,0 +1,248 @@
+"""Optical-flow warping utilities. NHWC; flow is (N, H, W, 2) with the last
+axis ordered (di, dj) = (row offset, col offset) — the convention of the
+reference's ``flow_warp`` after its internal flip
+(afldm/shift_utils/flow_utils.py:79-86).
+
+The reference's forward-splat warps are numba CPU kernels with GPU<->CPU
+round-trips (flow_utils_np.py:31-35,155-160); here they are XLA scatter-adds
+(``.at[].add``) that stay on device and vectorize over batch and channel —
+order-independent sums, so results match the sequential loops exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def coords_grid(b, h, w):
+    """(B, H, W, 2) grid of (i, j) pixel coordinates (ref flow_utils.py:34,
+    which stacks (x, y); we standardize on (i, j))."""
+    i = jnp.arange(h, dtype=jnp.float32)[:, None]
+    j = jnp.arange(w, dtype=jnp.float32)[None, :]
+    grid = jnp.stack([jnp.broadcast_to(i, (h, w)),
+                      jnp.broadcast_to(j, (h, w))], axis=-1)
+    return jnp.broadcast_to(grid[None], (b, h, w, 2))
+
+
+def bilinear_sample(img, coords, return_mask=False):
+    """Bilinear sampling with zeros padding and align_corners=True semantics
+    (ref flow_utils.py:53-76). ``coords`` is (N, H, W, 2) in (i, j) pixel
+    scale. Out-of-bounds corner taps contribute zero; the optional mask is
+    1 where the sample point lies fully inside the image."""
+    N, H, W, C = img.shape
+    ci = coords[..., 0]
+    cj = coords[..., 1]
+
+    i0 = jnp.floor(ci)
+    j0 = jnp.floor(cj)
+    wi = ci - i0
+    wj = cj - j0
+
+    def tap(ii, jj, w):
+        valid = ((ii >= 0) & (ii <= H - 1) & (jj >= 0) & (jj <= W - 1))
+        iic = jnp.clip(ii, 0, H - 1).astype(jnp.int32)
+        jjc = jnp.clip(jj, 0, W - 1).astype(jnp.int32)
+        # gather per batch: use take_along_axis on flattened spatial dim
+        flat = img.reshape(N, H * W, C)
+        idx = (iic * W + jjc).reshape(N, -1, 1)
+        vals = jnp.take_along_axis(flat, idx, axis=1).reshape(N, *ii.shape[1:], C)
+        return vals * (w * valid.astype(img.dtype))[..., None]
+
+    out = (tap(i0, j0, (1 - wi) * (1 - wj))
+           + tap(i0 + 1, j0, wi * (1 - wj))
+           + tap(i0, j0 + 1, (1 - wi) * wj)
+           + tap(i0 + 1, j0 + 1, wi * wj))
+
+    if return_mask:
+        mask = ((ci >= 0) & (ci <= H - 1) & (cj >= 0) & (cj <= W - 1))
+        return out, mask
+    return out
+
+
+def flow_warp(feature, flow, mask=False):
+    """Backward bilinear warp: out[i, j] = feature[i + di, j + dj]
+    (ref flow_utils.py:79-86)."""
+    b, h, w, _ = feature.shape
+    grid = coords_grid(b, h, w) + flow.astype(jnp.float32)
+    return bilinear_sample(feature, grid.astype(feature.dtype),
+                           return_mask=mask)
+
+
+def flow_warp_nearest(img, bwd_flow):
+    """Nearest-neighbour backward warp with clamped indices
+    (ref flow_utils_np.py:15-36)."""
+    N, H, W, C = img.shape
+    i = jnp.arange(H)[None, :, None]
+    j = jnp.arange(W)[None, None, :]
+    pi = jnp.clip(jnp.round(i + bwd_flow[..., 0]), 0, H - 1).astype(jnp.int32)
+    pj = jnp.clip(jnp.round(j + bwd_flow[..., 1]), 0, W - 1).astype(jnp.int32)
+    flat = img.reshape(N, H * W, C)
+    idx = (pi * W + pj).reshape(N, H * W, 1)
+    return jnp.take_along_axis(flat, idx, axis=1).reshape(N, H, W, C)
+
+
+def flow_warp_splat_nearest(img, fwd_flow, fwd_occ=None):
+    """Nearest forward splat: res[round(i+di), round(j+dj)] += img[i, j]
+    (ref flow_utils_np.py:39-62 / flow_utils.py alpha_warp path). Occluded
+    source pixels (fwd_occ == 1) are dropped before splatting."""
+    if fwd_occ is not None:
+        img = img * (1 - fwd_occ)
+    N, H, W, C = img.shape
+    i = jnp.arange(H)[None, :, None]
+    j = jnp.arange(W)[None, None, :]
+    ti = jnp.clip(jnp.round(i + fwd_flow[..., 0]), 0, H - 1).astype(jnp.int32)
+    tj = jnp.clip(jnp.round(j + fwd_flow[..., 1]), 0, W - 1).astype(jnp.int32)
+    idx = (ti * W + tj).reshape(N, H * W)
+    src = img.reshape(N, H * W, C)
+    out = jnp.zeros_like(src)
+    out = jax.vmap(lambda o, ix, s: o.at[ix].add(s))(out, idx, src)
+    return out.reshape(N, H, W, C)
+
+
+def get_intermediate_warp_mask(fwd_flow, fwd_occ, alpha):
+    """Invert a forward flow into a backward flow by nearest splatting, and
+    mark as occluded every target pixel hit != exactly once
+    (ref flow_utils_np.py:65-103). Where the count is 1 the winning write is
+    unique, so scatter order doesn't matter; where it is >1 the reference's
+    value is order-defined but masked out as occluded anyway."""
+    fwd_flow = fwd_flow * alpha
+    N, H, W, _ = fwd_flow.shape
+    i = jnp.arange(H)[None, :, None]
+    j = jnp.arange(W)[None, None, :]
+    ti = jnp.clip(jnp.round(i + fwd_flow[..., 0]), 0, H - 1).astype(jnp.int32)
+    tj = jnp.clip(jnp.round(j + fwd_flow[..., 1]), 0, W - 1).astype(jnp.int32)
+    idx = (ti * W + tj).reshape(N, H * W)
+
+    keep = (fwd_occ[..., 0].reshape(N, H * W) == 0)
+
+    cnt = jnp.zeros((N, H * W), jnp.int32)
+    cnt = jax.vmap(lambda c, ix, k: c.at[ix].add(k.astype(jnp.int32)))(
+        cnt, idx, keep)
+
+    val = (-fwd_flow).reshape(N, H * W, 2) * keep[..., None]
+    bwd = jnp.zeros((N, H * W, 2), fwd_flow.dtype)
+    # masked scatter-set: drop occluded sources by routing them to a dummy
+    # out-of-range index (mode='drop').
+    idx_set = jnp.where(keep, idx, H * W)
+    bwd = jax.vmap(
+        lambda b, ix, v: b.at[ix].set(v, mode="drop")
+    )(bwd, idx_set, val)
+
+    bwd_occ = (cnt != 1).astype(fwd_occ.dtype).reshape(N, H, W, 1)
+    return bwd.reshape(N, H, W, 2), bwd_occ
+
+
+def forward_flow_warp(img, fwd_flow):
+    """Bilinear forward splat with unnormalized corner weights; a target
+    pixel is non-occluded iff any weight landed on it
+    (ref flow_utils_np.py:106-161)."""
+    N, H, W, C = img.shape
+    i = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    j = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    ci = i + fwd_flow[..., 0].astype(jnp.float32)
+    cj = j + fwd_flow[..., 1].astype(jnp.float32)
+    # NOTE: the reference truncates toward zero (int(crt_i)), not floor;
+    # flows that land at negative coords are out of bounds either way except
+    # in (-1, 0), where truncation picks corners {0, 1} with weight
+    # (1 - |c - corner|) — replicate with int-cast semantics.
+    i1 = ci.astype(jnp.int32)
+    j1 = cj.astype(jnp.int32)
+
+    src = img.reshape(N, H * W, C).astype(jnp.float32)
+    res = jnp.zeros((N, H * W, C), jnp.float32)
+    cnt = jnp.zeros((N, H * W), jnp.float32)
+
+    def corner(res, cnt, gi, gj):
+        coef = (1 - jnp.abs(ci - gi)) * (1 - jnp.abs(cj - gj))
+        valid = (gi >= 0) & (gi < H) & (gj >= 0) & (gj < W)
+        coef = coef * valid.astype(jnp.float32)
+        idx = jnp.where(valid, gi * W + gj, 0).reshape(N, H * W)
+        coef = coef.reshape(N, H * W)
+        res = jax.vmap(lambda r, ix, v: r.at[ix].add(v))(
+            res, idx, src * coef[..., None])
+        cnt = jax.vmap(lambda c, ix, v: c.at[ix].add(v))(cnt, idx, coef)
+        return res, cnt
+
+    for gi, gj in ((i1, j1), (i1 + 1, j1), (i1, j1 + 1), (i1 + 1, j1 + 1)):
+        res, cnt = corner(res, cnt, gi, gj)
+
+    bwd_occ = (cnt <= 0).astype(img.dtype).reshape(N, H, W, 1)
+    return res.reshape(N, H, W, C).astype(img.dtype), bwd_occ
+
+
+def forward_backward_consistency_check(fwd_flow, bwd_flow, alpha=0.01,
+                                       beta=0.5):
+    """UnFlow-style occlusion masks (ref flow_utils.py:133-153)."""
+    flow_mag = (jnp.linalg.norm(fwd_flow, axis=-1)
+                + jnp.linalg.norm(bwd_flow, axis=-1))
+    warped_bwd = flow_warp(bwd_flow, fwd_flow)
+    warped_fwd = flow_warp(fwd_flow, bwd_flow)
+    diff_fwd = jnp.linalg.norm(fwd_flow + warped_bwd, axis=-1)
+    diff_bwd = jnp.linalg.norm(bwd_flow + warped_fwd, axis=-1)
+    threshold = alpha * flow_mag + beta
+    fwd_occ = (diff_fwd > threshold).astype(fwd_flow.dtype)[..., None]
+    bwd_occ = (diff_bwd > threshold).astype(bwd_flow.dtype)[..., None]
+    return fwd_occ, bwd_occ
+
+
+def upsample_noise(noise, ratio, key):
+    """Variance-preserving noise upsample (ref flow_utils.py:204-211):
+    draw hi-res z, subtract its per-patch mean, add nearest-upsampled
+    noise / ratio. Each ratio x ratio patch then averages back to the
+    original noise pixel / ratio (distribution-preserving)."""
+    n, h, w, c = noise.shape
+    z = jax.random.normal(key, (n, h * ratio, w * ratio, c), noise.dtype)
+    zp = z.reshape(n, h, ratio, w, ratio, c)
+    z_mean = zp.mean(axis=(2, 4), keepdims=True)
+    z_centered = (zp - z_mean).reshape(n, h * ratio, w * ratio, c)
+    x = jnp.repeat(jnp.repeat(noise, ratio, axis=1), ratio, axis=2)
+    return x / ratio + z_centered
+
+
+def collect_noise_pixel(noise, bwd_occ, sidelength, key):
+    """Re-aggregate hi-res noise into low-res, refreshing occluded pixels
+    with new gaussian noise (ref flow_utils.py:214-221)."""
+    sl = sidelength
+    n, h, w, c = noise.shape
+    fresh = jax.random.normal(key, noise.shape, noise.dtype)
+    res = fresh * bwd_occ + noise * (1 - bwd_occ)
+    res = res.reshape(n, h // sl, sl, w // sl, sl, c)
+    return res.sum(axis=(2, 4)) / sl
+
+
+def continuous_noise_warp(high_res_noise, fwd_flow, fwd_occ, alpha, key,
+                          noise_ratio=8):
+    """Warp hi-res noise along a scaled forward flow, preserving the noise
+    distribution (ref flow_utils.py:224-231)."""
+    bwd_flow, bwd_occ = get_intermediate_warp_mask(fwd_flow, fwd_occ, alpha)
+    warped = flow_warp(high_res_noise, bwd_flow)
+    return collect_noise_pixel(warped, bwd_occ, noise_ratio, key)
+
+
+def continuous_noise_warp_bwd(high_res_noise, bwd_flow, bwd_occ, key,
+                              noise_ratio=8, flow_ratio=1):
+    """ref flow_utils.py:234-239."""
+    if flow_ratio != 1:
+        bwd_flow = jax.image.resize(
+            bwd_flow, (bwd_flow.shape[0], bwd_flow.shape[1] * flow_ratio,
+                       bwd_flow.shape[2] * flow_ratio, 2), "nearest")
+        bwd_occ = jax.image.resize(
+            bwd_occ, (bwd_occ.shape[0], bwd_occ.shape[1] * flow_ratio,
+                      bwd_occ.shape[2] * flow_ratio, 1), "nearest")
+    warped = flow_warp(high_res_noise, bwd_flow)
+    return collect_noise_pixel(warped, bwd_occ, noise_ratio, key)
+
+
+def continuous_noise_fwd_warp(high_res_noise, fwd_flow, alpha, key,
+                              noise_ratio=8):
+    """ref flow_utils.py:262-267."""
+    warped, bwd_occ = forward_flow_warp(high_res_noise, fwd_flow * alpha)
+    return collect_noise_pixel(warped, bwd_occ, noise_ratio, key)
+
+
+def forward_upsample_flow_warp(img, fwd_flow, scale=8):
+    """Ideal-upsample then forward-splat then decimate
+    (ref flow_utils.py:381-388)."""
+    from ..ops.ideal_lpf import upsample_rfft
+    up = upsample_rfft(img, up=scale)
+    warped, occ = forward_flow_warp(up, fwd_flow)
+    return warped[:, ::scale, ::scale, :], occ[:, ::scale, ::scale, :]
