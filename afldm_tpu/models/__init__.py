@@ -1,0 +1,18 @@
+from .layers import (
+    ResnetBlock2D, Attention, Downsample2D, Upsample2D,
+    TimestepEmbedding, get_timestep_embedding, WrappedActivation, KVHelper,
+)
+from .unet2d import UNet2DModel, UNet2DConfig, UNetMidBlock2D
+from .vae import (AutoencoderKL, AutoencoderKLConfig, Encoder, Decoder,
+                  gaussian_sample, gaussian_kl)
+from .discriminator import Discriminator, hinge_d_loss, hinge_g_loss
+
+__all__ = [
+    "ResnetBlock2D", "Attention", "Downsample2D", "Upsample2D",
+    "TimestepEmbedding", "get_timestep_embedding", "WrappedActivation",
+    "KVHelper",
+    "UNet2DModel", "UNet2DConfig", "UNetMidBlock2D",
+    "AutoencoderKL", "AutoencoderKLConfig", "Encoder", "Decoder",
+    "gaussian_sample", "gaussian_kl",
+    "Discriminator", "hinge_d_loss", "hinge_g_loss",
+]

@@ -108,12 +108,21 @@ class DDIMScheduler:
         return x0, eps
 
     def step(self, model_output, timestep, sample, eta: float = 0.0,
-             key=None):
+             key=None, prev_timestep=None):
         """One DDIM update x_t -> x_{t-Δ}; timestep may be traced. Returns
-        (prev_sample, pred_original_sample)."""
-        assert self.num_inference_steps is not None, "call set_timesteps first"
-        dt = self.num_train_timesteps // self.num_inference_steps
-        prev_t = jnp.asarray(timestep) - dt
+        (prev_sample, pred_original_sample).
+
+        Pass ``prev_timestep`` explicitly inside jitted samplers: deriving it
+        from ``self.num_inference_steps`` reads mutable python state at
+        *trace* time, which goes stale if another ``set_timesteps`` call
+        happened between builds/retraces of the compiled function."""
+        if prev_timestep is not None:
+            prev_t = jnp.asarray(prev_timestep)
+        else:
+            assert self.num_inference_steps is not None, \
+                "call set_timesteps first"
+            dt = self.num_train_timesteps // self.num_inference_steps
+            prev_t = jnp.asarray(timestep) - dt
 
         alpha_prod_t = self._alpha(timestep)
         alpha_prod_prev = self._alpha(prev_t)

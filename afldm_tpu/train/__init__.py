@@ -1,0 +1,19 @@
+from .config import (load_training_config, BaseTrainingConfig,
+                     VAETrainingConfig, LDMTrainingConfig,
+                     I2SBLDMTrainingConfig)
+from .trainer import Trainer, TrainState, create_trainer, make_optimizer
+from .ema import ema_init, ema_update, EMAState
+from .checkpoint import (save_checkpoint, restore_checkpoint,
+                         latest_checkpoint)
+from .data import (SyntheticDataset, ImageFolderDataset, make_dataset,
+                   epoch_batches)
+
+__all__ = [
+    "load_training_config", "BaseTrainingConfig", "VAETrainingConfig",
+    "LDMTrainingConfig", "I2SBLDMTrainingConfig",
+    "Trainer", "TrainState", "create_trainer", "make_optimizer",
+    "ema_init", "ema_update", "EMAState",
+    "save_checkpoint", "restore_checkpoint", "latest_checkpoint",
+    "SyntheticDataset", "ImageFolderDataset", "make_dataset",
+    "epoch_batches",
+]

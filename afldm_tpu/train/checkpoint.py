@@ -1,0 +1,50 @@
+"""Checkpointing with the reference's two-tier layout (SURVEY.md §5.4):
+``checkpoint-{step}/`` training-state directories with rotation keeping the
+newest ``checkpoints_total_limit`` (train.py:353-382), via Orbax (async,
+sharded-array aware), plus resume-from-latest scanning."""
+
+import os
+import re
+import shutil
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dirs(output_dir):
+    if not os.path.isdir(output_dir):
+        return []
+    ds = [d for d in os.listdir(output_dir)
+          if re.fullmatch(r"checkpoint-\d+", d)]
+    return sorted(ds, key=lambda d: int(d.split("-")[1]))
+
+
+def latest_checkpoint(output_dir):
+    ds = _ckpt_dirs(output_dir)
+    return os.path.join(output_dir, ds[-1]) if ds else None
+
+
+def save_checkpoint(output_dir, step, state, total_limit=None):
+    """state: any pytree of arrays (params, opt_state, ema, step...)."""
+    path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    if total_limit:
+        ds = _ckpt_dirs(output_dir)
+        while len(ds) > total_limit:
+            victim = ds.pop(0)
+            shutil.rmtree(os.path.join(output_dir, victim),
+                          ignore_errors=True)
+    return path
+
+
+def restore_checkpoint(path, target_state):
+    """Restore into the structure/shardings of ``target_state``."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target_state)
+
+
+def resume_step_from_path(path):
+    m = re.search(r"checkpoint-(\d+)$", path.rstrip("/"))
+    return int(m.group(1)) if m else 0

@@ -1,0 +1,109 @@
+"""Input pipeline (replaces the reference's torch DataLoader + HF datasets,
+train.py:143-262). Two sources:
+
+- ``ImageFolderDataset``: recursive image-folder reader (the reference's
+  ImagenetDataset / imagefolder paths), with resize + center-crop + optional
+  flip, normalized to [-1, 1] NHWC.
+- ``SyntheticDataset``: deterministic random images for tests/benchmarks and
+  zero-egress environments.
+
+Batches are numpy on host; ``prefetch_to_mesh`` shards them onto the device
+mesh (the cross-host input-pipeline seam of SURVEY.md §2.11)."""
+
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
+
+
+class SyntheticDataset:
+    """Smooth random images (bandlimited noise) in [-1, 1]."""
+
+    def __init__(self, resolution=64, length=256, channels=3, seed=0):
+        self.resolution = resolution
+        self.length = length
+        self.channels = channels
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        low = rng.standard_normal(
+            (self.resolution // 8, self.resolution // 8, self.channels))
+        img = np.kron(low, np.ones((8, 8, 1)))
+        img = np.tanh(img).astype(np.float32)
+        return {"input": img}
+
+
+class ImageFolderDataset:
+    def __init__(self, root, resolution=256, center_crop=True,
+                 random_flip=False, seed=0):
+        self.paths = []
+        for dirpath, _, files in os.walk(root):
+            for f in sorted(files):
+                if os.path.splitext(f)[1].lower() in IMG_EXTS:
+                    self.paths.append(os.path.join(dirpath, f))
+        if not self.paths:
+            raise FileNotFoundError(f"no images under {root}")
+        self.resolution = resolution
+        self.center_crop = center_crop
+        self.random_flip = random_flip
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx):
+        from PIL import Image
+        img = Image.open(self.paths[idx]).convert("RGB")
+        w, h = img.size
+        scale = self.resolution / min(w, h)
+        img = img.resize((round(w * scale), round(h * scale)),
+                         Image.BICUBIC)
+        w, h = img.size
+        if self.center_crop:
+            left = (w - self.resolution) // 2
+            top = (h - self.resolution) // 2
+        else:
+            left = self.rng.integers(0, w - self.resolution + 1)
+            top = self.rng.integers(0, h - self.resolution + 1)
+        img = img.crop((left, top, left + self.resolution,
+                        top + self.resolution))
+        arr = np.asarray(img, np.float32) / 127.5 - 1.0
+        if self.random_flip and self.rng.random() < 0.5:
+            arr = arr[:, ::-1].copy()
+        return {"input": arr}
+
+
+def make_dataset(base_cfg):
+    """Dataset selection mirroring train.py:143-262: train_data_dir (folder)
+    or a synthetic fallback when nothing is configured/reachable."""
+    if base_cfg.train_data_dir and os.path.isdir(base_cfg.train_data_dir):
+        return ImageFolderDataset(
+            base_cfg.train_data_dir, resolution=base_cfg.resolution,
+            center_crop=base_cfg.center_crop,
+            random_flip=base_cfg.random_flip)
+    return SyntheticDataset(resolution=base_cfg.resolution)
+
+
+def epoch_batches(dataset, batch_size, seed=0, drop_last=True
+                  ) -> Iterator[dict]:
+    """Shuffled epoch iterator yielding stacked numpy batches."""
+    order = np.random.default_rng(seed).permutation(len(dataset))
+    n_full = len(order) // batch_size
+    for b in range(n_full):
+        idxs = order[b * batch_size:(b + 1) * batch_size]
+        items = [dataset[int(i)] for i in idxs]
+        yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+def prefetch_to_mesh(batches, mesh):
+    """Move host batches onto the mesh, batch-sharded on 'data'."""
+    from ..parallel.collectives import shard_batch
+    for b in batches:
+        yield shard_batch(b, mesh)

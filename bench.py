@@ -1,0 +1,111 @@
+"""Headline benchmark: AF-LDM UNet denoising throughput (steps/s) on the
+flagship FFHQ-256 configuration (configs/ldm/model_unet.json of the
+reference), batch 1, alias-free wiring — the inference workload of
+scripts/shift_ldm_ffhq.py.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+
+vs_baseline = TPU steps/s / CPU steps/s (same program, host CPU backend) —
+the driver target is >= 5x per chip (BASELINE.md). The CPU measurement is
+cached in bench_cpu_baseline.json because a CPU step of the 274M-param UNet
+is expensive.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build(alias_free=True):
+    import jax
+    import jax.numpy as jnp
+    from afldm_tpu.models import UNet2DModel, UNet2DConfig
+    from afldm_tpu.schedulers import DDIMScheduler
+
+    cfg = UNet2DConfig(alias_free=alias_free)  # defaults == FFHQ config
+    unet = UNet2DModel(cfg, dtype=jnp.float32)
+    sched = DDIMScheduler(
+        beta_end=0.0195, beta_schedule="scaled_linear", beta_start=0.0015,
+        clip_sample=False, num_train_timesteps=1000, set_alpha_to_one=False,
+        steps_offset=1, timestep_spacing="leading")
+    ts = jnp.asarray(sched.set_timesteps(50))
+    ts_prev = ts - 20
+
+    @jax.jit
+    def denoise10(params, latents):
+        def body(carry, x):
+            t, pt = x
+            eps, _ = unet.apply(params, carry, t)
+            nxt, _ = sched.step(eps, t, carry, prev_timestep=pt)
+            return nxt, None
+        return jax.lax.scan(body, latents, (ts[:10], ts_prev[:10]))[0]
+
+    return unet, denoise10
+
+
+def measure(device_kind, n_steps=10, repeats=3):
+    import jax
+    import jax.numpy as jnp
+    unet, denoise10 = build()
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 32, 32, 4), jnp.float32)
+    params = jax.jit(unet.init)(key, x, jnp.asarray([0]))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 4),
+                            jnp.float32)
+    out = denoise10(params, lat)
+    out.block_until_ready()  # compile + warmup
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = denoise10(params, lat)
+        out.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return n_steps / best
+
+
+def cpu_baseline():
+    """Measure (or load cached) CPU steps/s via a subprocess pinned to the
+    host backend."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_cpu_baseline.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["cpu_steps_per_s"]
+    import subprocess
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import json,sys; sys.path.insert(0, %r);"
+        "import bench; print('CPURESULT', bench.measure('cpu', repeats=1))"
+        % os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run([sys.executable, "-c", code], timeout=1800,
+                             capture_output=True, text=True)
+        for line in out.stdout.splitlines():
+            if line.startswith("CPURESULT"):
+                v = float(line.split()[1])
+                with open(cache, "w") as f:
+                    json.dump({"cpu_steps_per_s": v}, f)
+                return v
+    except Exception:
+        pass
+    return None
+
+
+def main():
+    tpu_sps = measure("tpu")
+    cpu_sps = cpu_baseline()
+    vs = (tpu_sps / cpu_sps) if cpu_sps else None
+    print(json.dumps({
+        "metric": "af_unet_denoise_steps_per_s_ffhq256",
+        "value": round(tpu_sps, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Training CLI — same surface as the reference (`python train.py
+<config.json>`, ref train.py:39-47): one JSON config with a `base` key plus
+exactly one trainer key. The accelerate/DDP stack (train.py:54-60) is
+replaced by a jax.sharding mesh; checkpoints follow the checkpoint-{step}
+rotation convention (train.py:353-382) via Orbax."""
+
+import argparse
+import json
+import logging
+import math
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config", type=str)
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="optional hard cap for smoke runs")
+    args = parser.parse_args()
+
+    import jax
+    from afldm_tpu.train import (load_training_config, create_trainer,
+                                 make_dataset, epoch_batches,
+                                 save_checkpoint, restore_checkpoint,
+                                 latest_checkpoint)
+    from afldm_tpu.train.checkpoint import resume_step_from_path
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    log = logging.getLogger("train")
+
+    cfgs = load_training_config(args.config)
+    base = cfgs["base"]
+    trainer_key = next(k for k in cfgs if k != "base")
+    cfg = cfgs[trainer_key]
+
+    os.makedirs(base.output_dir, exist_ok=True)
+    os.makedirs(os.path.join(base.output_dir, base.logging_dir),
+                exist_ok=True)
+
+    trainer = create_trainer(trainer_key, base, cfg)
+    log.info("devices: %s mesh: %s", jax.devices(), trainer.mesh)
+
+    trainer.init_modules()
+    dataset = make_dataset(base)
+    trainer.set_dataset(dataset)
+    steps_per_epoch = len(dataset) // base.train_batch_size
+    total_steps = steps_per_epoch * base.num_epochs
+    trainer.init_optimizers(total_steps)
+    trainer.prepare_modules()
+
+    global_step = 0
+    if base.resume_from_checkpoint:
+        path = (latest_checkpoint(base.output_dir)
+                if base.resume_from_checkpoint == "latest"
+                else base.resume_from_checkpoint)
+        if path:
+            log.info("resuming from %s", path)
+            state = restore_checkpoint(path, jax.device_get(
+                trainer.state_for_checkpoint()))
+            trainer.load_state(jax.device_put(state, trainer.replicated))
+            global_step = resume_step_from_path(path)
+
+    metrics_path = os.path.join(base.output_dir, base.logging_dir,
+                                "metrics.jsonl")
+    mfile = open(metrics_path, "a")
+
+    log.info("training %s: %d steps/epoch, %d epochs", trainer_key,
+             steps_per_epoch, base.num_epochs)
+    t0 = time.time()
+    done = False
+    for epoch in range(base.num_epochs):
+        if done:
+            break
+        for batch in epoch_batches(dataset, base.train_batch_size,
+                                   seed=(base.seed or 0) + epoch):
+            logs = trainer.training_step(global_step, batch)
+            global_step += 1
+            if global_step % 10 == 0:
+                logs["step"] = global_step
+                logs["steps_per_s"] = global_step / (time.time() - t0)
+                mfile.write(json.dumps(logs) + "\n")
+                mfile.flush()
+                log.info("step %d %s", global_step,
+                         {k: round(v, 5) for k, v in logs.items()})
+            if global_step % base.checkpointing_steps == 0:
+                save_checkpoint(base.output_dir, global_step,
+                                jax.device_get(
+                                    trainer.state_for_checkpoint()),
+                                total_limit=base.checkpoints_total_limit)
+                log.info("saved checkpoint-%d", global_step)
+            if base.valid_steps and global_step % base.valid_steps == 0:
+                v = trainer.validate(global_step)
+                log.info("validation @%d: %s", global_step,
+                         {k: v[k] for k in v if np.isscalar(v[k])})
+            if args.max_steps and global_step >= args.max_steps:
+                done = True
+                break
+        if (epoch + 1) % base.save_model_epochs == 0 or done:
+            trainer.save_pipeline(os.path.join(base.output_dir, "pipeline"))
+            log.info("saved pipeline (epoch %d)", epoch)
+
+    save_checkpoint(base.output_dir, global_step,
+                    jax.device_get(trainer.state_for_checkpoint()),
+                    total_limit=base.checkpoints_total_limit)
+    trainer.save_pipeline(os.path.join(base.output_dir, "pipeline"))
+    log.info("done at step %d", global_step)
+
+
+if __name__ == "__main__":
+    main()
