@@ -20,6 +20,17 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def build(alias_free=True):
     import jax
     import jax.numpy as jnp
@@ -96,6 +107,7 @@ def cpu_baseline():
 
 
 def main():
+    _enable_compile_cache()
     tpu_sps = measure("tpu")
     cpu_sps = cpu_baseline()
     vs = (tpu_sps / cpu_sps) if cpu_sps else None

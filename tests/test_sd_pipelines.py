@@ -1,0 +1,146 @@
+"""SD-family model + pipeline tests on tiny random-weight configs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from afldm_tpu.models import (UNet2DConditionModel, UNet2DConditionConfig,
+                              ControlNetModel, ControlNetConfig,
+                              AutoencoderKL, AutoencoderKLConfig)
+from afldm_tpu.schedulers import DDIMScheduler
+from afldm_tpu.pipelines import (NormControlPipeline,
+                                 VideoEquivEditingPipeline,
+                                 ImageInterpolationPipeline)
+
+SD_CFG = UNet2DConditionConfig(
+    sample_size=8, block_out_channels=(16, 32),
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    layers_per_block=1, attention_head_dim=2, cross_attention_dim=16,
+    norm_num_groups=8, alias_free=True)
+
+VAE_CFG = AutoencoderKLConfig(
+    block_out_channels=(8, 8, 8, 8), layers_per_block=1, latent_channels=4,
+    norm_num_groups=4, sample_size=64, scaling_factor=0.6, alias_free=True,
+    down_filtered_act=(False, True, True, True),
+    up_filtered_act=(True, True, True, False), up_rescale=(True, True, True))
+
+DDIM_CFG = dict(beta_end=0.0195, beta_schedule="scaled_linear",
+                beta_start=0.0015, clip_sample=False,
+                num_train_timesteps=1000, set_alpha_to_one=False,
+                steps_offset=1, timestep_spacing="leading")
+
+
+class _ZeroTextEncoder:
+    def encode(self, prompts):
+        return jnp.zeros((len(prompts), 7, 16), jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def sd_parts():
+    key = jax.random.PRNGKey(0)
+    unet = UNet2DConditionModel(SD_CFG)
+    vae = AutoencoderKL(VAE_CFG)
+    z = jnp.zeros((1, 8, 8, 4))
+    ehs = jnp.zeros((1, 7, 16))
+    up = unet.init(key, z, jnp.asarray([0]), ehs)
+    vp = vae.init(key, jnp.zeros((1, 64, 64, 3)))
+    return unet, up, vae, vp
+
+
+def test_sd_unet_cfg_batching(sd_parts):
+    unet, up, _, _ = sd_parts
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    ehs = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 16))
+    out, kv = unet.apply(up, z, jnp.asarray([10, 10]), ehs)
+    # self-attns: 1 (down) + 1 (mid) + 2 (up block with 2 resnets) = 4
+    assert out.shape == z.shape and len(kv) == 4
+
+
+def test_controlnet_residual_path(sd_parts):
+    unet, up, _, _ = sd_parts
+    cn_cfg = ControlNetConfig.from_unet_config(SD_CFG)
+    cn = ControlNetModel(cn_cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    ehs = jnp.zeros((1, 7, 16))
+    cp = cn.init(jax.random.PRNGKey(3), z, jnp.asarray([0]), ehs, z)
+    dres, mres, _ = cn.apply(cp, z, jnp.asarray([999]), ehs, z)
+    base, _ = unet.apply(up, z, jnp.asarray([999]), ehs)
+    out, _ = unet.apply(up, z, jnp.asarray([999]), ehs,
+                        down_block_residuals=dres, mid_block_residual=mres)
+    # zero-initialized controlnet is exactly transparent
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=0)
+
+    # nonzero residuals change the output
+    dres2 = tuple(d + 0.1 for d in dres)
+    out2, _ = unet.apply(up, z, jnp.asarray([999]), ehs,
+                         down_block_residuals=dres2,
+                         mid_block_residual=mres)
+    assert np.abs(np.asarray(out2) - np.asarray(base)).max() > 1e-4
+
+
+def test_norm_control_pipeline(sd_parts):
+    unet, up, vae, vp = sd_parts
+    cn_cfg = ControlNetConfig.from_unet_config(SD_CFG)
+    cn = ControlNetModel(cn_cfg)
+    z = jnp.zeros((1, 8, 8, 4))
+    cp = cn.init(jax.random.PRNGKey(3), z, jnp.asarray([0]),
+                 jnp.zeros((1, 7, 16)), z)
+    pipe = NormControlPipeline(vae, vp, unet, up, cn, cp,
+                               DDIMScheduler(**DDIM_CFG),
+                               text_encoder=_ZeroTextEncoder())
+    img = jax.random.normal(jax.random.PRNGKey(4), (1, 64, 64, 3)) * 0.3
+    res = pipe(img, num_shift_steps=3)
+    assert res.normals.shape == (4, 64, 64, 3)
+    assert np.isfinite(res.psnrs).all() and res.psnrs.shape == (3,)
+
+
+def test_video_editing_pipeline(sd_parts):
+    unet, up, vae, vp = sd_parts
+    pipe = VideoEquivEditingPipeline(vae, vp, unet, up,
+                                     DDIMScheduler(**DDIM_CFG),
+                                     text_encoder=_ZeroTextEncoder())
+    frames = jax.random.normal(jax.random.PRNGKey(5), (3, 64, 64, 3)) * 0.3
+    out = pipe(frames, "a prompt", strength=0.5, num_inference_steps=4,
+               guidance_scale=2.0, key=jax.random.PRNGKey(6))
+    assert out.shape == (3, 64, 64, 3)
+    assert np.isfinite(out).all()
+
+
+def test_video_editing_inversion_path(sd_parts):
+    unet, up, vae, vp = sd_parts
+    pipe = VideoEquivEditingPipeline(vae, vp, unet, up,
+                                     DDIMScheduler(**DDIM_CFG),
+                                     text_encoder=_ZeroTextEncoder())
+    frames = jax.random.normal(jax.random.PRNGKey(7), (2, 64, 64, 3)) * 0.3
+    out = pipe(frames, "p", strength=0.5, num_inference_steps=4,
+               use_inversion=True, key=jax.random.PRNGKey(8))
+    assert out.shape == (2, 64, 64, 3) and np.isfinite(out).all()
+
+
+def test_interpolation_pipeline(sd_parts):
+    unet, up, vae, vp = sd_parts
+    pipe = ImageInterpolationPipeline(vae, vp, unet, up,
+                                      DDIMScheduler(**DDIM_CFG),
+                                      text_encoder=_ZeroTextEncoder())
+    img0 = jax.random.normal(jax.random.PRNGKey(9), (1, 64, 64, 3)) * 0.3
+    img1 = jnp.roll(img0, 8, axis=2)
+    out = pipe(img0, img1, num_frames=3, num_inference_steps=2,
+               key=jax.random.PRNGKey(10))
+    assert out.shape == (3, 64, 64, 3)
+    assert np.isfinite(out).all()
+
+
+def test_interpolation_endpoint_consistency(sd_parts):
+    """alpha=0 frame uses kv0 only; its trajectory should match a plain
+    STORE denoise of the same starting noise."""
+    unet, up, vae, vp = sd_parts
+    pipe = ImageInterpolationPipeline(vae, vp, unet, up,
+                                      DDIMScheduler(**DDIM_CFG),
+                                      text_encoder=_ZeroTextEncoder())
+    img0 = jax.random.normal(jax.random.PRNGKey(11), (1, 64, 64, 3)) * 0.3
+    img1 = jnp.roll(img0, 4, axis=1)
+    out = pipe(img0, img1, num_frames=2, num_inference_steps=2,
+               key=jax.random.PRNGKey(12), use_slerp=False)
+    assert np.isfinite(out).all()
