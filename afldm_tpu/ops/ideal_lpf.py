@@ -156,19 +156,30 @@ def _spectral_pad(X: jax.Array, H: int, W: int, up: int) -> jax.Array:
     return jnp.pad(Y, ((0, 0), (0, 0), (0, W2 // 2 + 1 - Wr), (0, 0)))
 
 
+# Above this edge the dense circulant operators get large and the FFT path
+# wins on memory; below it the MXU matmuls are 1.3-20x faster than XLA's
+# TPU FFT (measured on v5e, see PARITY/README perf notes).
+_MATMUL_MAX_SIZE = 1024
+
+
 def upsample_rfft(x: jax.Array, up: int = 2, factor: int = 1,
-                  impl: str = "spectral") -> jax.Array:
+                  impl: str = "matmul") -> jax.Array:
     """Ideal (sinc) upsampling by integer ``up``; NHWC.
 
-    ``impl='spectral'`` (default) does exact spectral zero-padding;
+    ``impl='matmul'`` (default) applies dense circulant operators on the
+    MXU; ``impl='spectral'`` does exact spectral zero-padding via FFT;
     ``impl='ref'`` mirrors the reference literally (zero-stuff then
     reconstruction filter then ``* up**2``, ideal_lpf.py:148-156) and also
-    supports odd sizes / ``factor != 1``.
+    supports odd sizes / ``factor != 1``. All three agree to ~1e-6.
     """
     if up == 1:
         return x
     H, W = x.shape[1], x.shape[2]
-    if impl == "spectral" and factor == 1 and H % 2 == 0 and W % 2 == 0 and up % 2 == 0:
+    even = H % 2 == 0 and W % 2 == 0 and up % 2 == 0
+    if (impl == "matmul" and factor == 1 and even
+            and max(H, W) * up <= _MATMUL_MAX_SIZE):
+        return _apply_sep(x, _upsample_op(H, up), _upsample_op(W, up))
+    if impl in ("spectral", "matmul") and factor == 1 and even:
         xf, dtype = _fft_f32(x)
         X = jnp.fft.rfft2(xf, axes=(1, 2))
         Y = _spectral_pad(X, H, W, up)
@@ -209,13 +220,17 @@ def _spectral_fold(X: jax.Array, H: int, W: int, down: int) -> jax.Array:
     return Y * jnp.asarray(col_scale)[None, None, :, None]
 
 
-def downsample_rfft(x: jax.Array, down: int = 2, impl: str = "spectral") -> jax.Array:
+def downsample_rfft(x: jax.Array, down: int = 2, impl: str = "matmul") -> jax.Array:
     """Ideal low-pass then decimate: ``lpf_rfft(x, 1/down)[:, ::down, ::down]``
-    fused in the spectral domain. This is the decimation half of the
-    reference's AliasFreeDownsample2D (af_blocks.py:148-150) and
-    WarpedNonlinearity (af_blocks.py:25-26)."""
+    fused in the spectral domain (or as dense circulant MXU operators,
+    the default). This is the decimation half of the reference's
+    AliasFreeDownsample2D (af_blocks.py:148-150) and WarpedNonlinearity
+    (af_blocks.py:25-26)."""
     H, W = x.shape[1], x.shape[2]
-    if impl == "spectral" and H % (2 * down) == 0 and W % (2 * down) == 0:
+    ok = H % (2 * down) == 0 and W % (2 * down) == 0
+    if impl == "matmul" and ok and max(H, W) <= _MATMUL_MAX_SIZE:
+        return _apply_sep(x, _downsample_op(H, down), _downsample_op(W, down))
+    if impl in ("spectral", "matmul") and ok:
         xf, dtype = _fft_f32(x)
         X = jnp.fft.rfft2(xf, axes=(1, 2))
         Y = _spectral_fold(X, H, W, down)
@@ -244,20 +259,28 @@ def subpixel_shift(images: jax.Array, up: int = 2, shift_x: int = 1,
 
 @partial(jax.jit, static_argnames=("act", "impl"))
 def filtered_nonlinearity(x: jax.Array, act: str = "silu",
-                          impl: str = "spectral") -> jax.Array:
+                          impl: str = "matmul") -> jax.Array:
     """2x oversample -> act -> ideal LPF(1/2) -> decimate sandwich
     (ref WarpedNonlinearity, af_blocks.py:12-28). Inputs with fewer than 4
     dims get the plain activation (af_blocks.py:20-21).
 
-    The spectral path runs rfft2/irfft2 once at base resolution and once at
-    2x each way instead of the reference's two full round trips at 2x, and
-    skips the zero-stuff memory pass entirely.
+    Default backend is dense circulant operators on the MXU (measured
+    1.3-20x faster than the FFT path on v5e at 32-256 px). The spectral
+    path runs rfft2/irfft2 once at base resolution and once at 2x each way
+    instead of the reference's two full round trips at 2x, and skips the
+    zero-stuff memory pass entirely.
     """
     act_fn = _ACTS[act]
     if x.ndim < 4:
         return act_fn(x)
     H, W = x.shape[1], x.shape[2]
-    if impl == "spectral" and H % 4 == 0 and W % 4 == 0:
+    if (impl == "matmul" and H % 4 == 0 and W % 4 == 0
+            and 2 * max(H, W) <= _MATMUL_MAX_SIZE):
+        hi = _apply_sep(x, _upsample_op(H, 2), _upsample_op(W, 2))
+        hi = act_fn(hi)
+        return _apply_sep(hi, _downsample_op(2 * H, 2),
+                          _downsample_op(2 * W, 2))
+    if impl in ("spectral", "matmul") and H % 4 == 0 and W % 4 == 0:
         xf, dtype = _fft_f32(x)
         X = jnp.fft.rfft2(xf, axes=(1, 2))
         Y = _spectral_pad(X, H, W, 2)
@@ -283,3 +306,79 @@ _ACTS = {
     "tanh": jnp.tanh,
     "linear": lambda x: x,
 }
+
+
+# ---------------------------------------------------------------------------
+# MXU (matmul) backend — the ideal resampling ops are circulant linear
+# operators; at latent-scale sizes a dense per-axis operator matrix on the
+# systolic array beats the FFT path (which is memory/transpose bound).
+# Operators are built once per size by applying the exact spectral
+# algorithms to identity signals, so equality with the FFT path is
+# by construction (verified in tests to ~1e-5).
+# ---------------------------------------------------------------------------
+
+_OP_CACHE = {}
+
+
+def _upsample_op(N: int, up: int = 2) -> np.ndarray:
+    """(up*N, N) ideal zero-pad upsampling operator (1D)."""
+    key = ("up", N, up)
+    if key not in _OP_CACHE:
+        X = np.fft.rfft(np.eye(N, dtype=np.float32), axis=0)
+        hh = N // 2
+        scale = np.full(hh + 1, float(up), np.float32)
+        scale[hh] *= 0.5
+        Xs = X * scale[:, None]
+        Y = np.zeros((up * N // 2 + 1, N), np.complex64)
+        Y[: hh + 1] = Xs
+        # the negative-frequency half (incl. the split Nyquist copy) is
+        # implied by irfft's Hermitian symmetry — basis vectors are real.
+        _OP_CACHE[key] = np.fft.irfft(Y, n=up * N, axis=0).astype(np.float32)
+    return _OP_CACHE[key]
+
+
+def _downsample_op(N: int, down: int = 2) -> np.ndarray:
+    """(N//down, N) ideal LPF + decimate operator (1D)."""
+    key = ("down", N, down)
+    if key not in _OP_CACHE:
+        X = np.fft.rfft(np.eye(N, dtype=np.float32), axis=0)
+        No = N // down
+        hh = No // 2
+        Y = np.zeros((No // 2 + 1, N), np.complex64)
+        Y[:hh] = X[:hh] / down
+        # band edge zeroed (the ideal LPF N%4 rule)
+        _OP_CACHE[key] = np.fft.irfft(Y, n=No, axis=0).astype(np.float32)
+    return _OP_CACHE[key]
+
+
+def _apply_sep(x, op_h, op_w):
+    """y = op_h @ x @ op_w^T over the spatial axes of NHWC, on the MXU."""
+    oh = jnp.asarray(op_h)
+    ow = jnp.asarray(op_w)
+    y = jnp.einsum("Hh,nhwc->nHwc", oh, x,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("Ww,nhwc->nhWc", ow, y,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def upsample_rfft_matmul(x, up: int = 2):
+    H, W = x.shape[1], x.shape[2]
+    return _apply_sep(x, _upsample_op(H, up), _upsample_op(W, up))
+
+
+def downsample_rfft_matmul(x, down: int = 2):
+    H, W = x.shape[1], x.shape[2]
+    return _apply_sep(x, _downsample_op(H, down), _downsample_op(W, down))
+
+
+def filtered_nonlinearity_matmul(x, act: str = "silu"):
+    """The WarpedNonlinearity sandwich with dense circulant operators:
+    up-project both axes (MXU), activation (VPU), down-project (MXU) —
+    no FFTs, no transposes."""
+    act_fn = _ACTS[act]
+    if x.ndim < 4:
+        return act_fn(x)
+    H, W = x.shape[1], x.shape[2]
+    hi = _apply_sep(x, _upsample_op(H, 2), _upsample_op(W, 2))
+    hi = act_fn(hi)
+    return _apply_sep(hi, _downsample_op(2 * H, 2), _downsample_op(2 * W, 2))

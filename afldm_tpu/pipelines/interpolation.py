@@ -126,27 +126,31 @@ class ImageInterpolationPipeline:
     def warp_noise(self, key, inv0, fwd_flow, fwd_occ, alphas,
                    noise_mode: str = "ideal", noise_ratio: int = 8):
         """Build per-alpha warped noises from endpoint-0's inverted latent
-        (ref :556-599)."""
-        k_up, k_bg, k_col = jax.random.split(key, 3)
-        if noise_mode == "ideal":
-            hi = upsample_rfft(inv0, up=noise_ratio)
-        else:
-            from ..shift.flow import upsample_noise
-            hi = upsample_noise(inv0, noise_ratio, k_up)
-        # fixed random background shared by every frame (ref :567-581)
-        bg = jax.random.normal(k_bg, inv0.shape, inv0.dtype)
+        (ref :556-599). One jitted program covers every alpha."""
+        alphas = tuple(float(a) for a in alphas)
 
-        noises = []
-        for i, a in enumerate(alphas):
-            bwd_flow, bwd_occ = get_intermediate_warp_mask(
-                fwd_flow, fwd_occ, float(a))
-            warped = flow_warp(hi, bwd_flow)
-            low = collect_noise_pixel(warped, bwd_occ, noise_ratio,
-                                      jax.random.fold_in(k_col, i))
-            occ_low = bwd_occ[:, ::noise_ratio, ::noise_ratio, :]
-            low = low * (1 - occ_low) + bg * occ_low
-            noises.append(low)
-        return jnp.concatenate(noises, axis=0)
+        @jax.jit
+        def build(key, inv0, fwd_flow, fwd_occ):
+            k_up, k_bg, k_col = jax.random.split(key, 3)
+            if noise_mode == "ideal":
+                hi = upsample_rfft(inv0, up=noise_ratio)
+            else:
+                from ..shift.flow import upsample_noise
+                hi = upsample_noise(inv0, noise_ratio, k_up)
+            # fixed random background shared by every frame (ref :567-581)
+            bg = jax.random.normal(k_bg, inv0.shape, inv0.dtype)
+            noises = []
+            for i, a in enumerate(alphas):
+                bwd_flow, bwd_occ = get_intermediate_warp_mask(
+                    fwd_flow, fwd_occ, a)
+                warped = flow_warp(hi, bwd_flow)
+                low = collect_noise_pixel(warped, bwd_occ, noise_ratio,
+                                          jax.random.fold_in(k_col, i))
+                occ_low = bwd_occ[:, ::noise_ratio, ::noise_ratio, :]
+                noises.append(low * (1 - occ_low) + bg * occ_low)
+            return jnp.concatenate(noises, axis=0)
+
+        return build(key, inv0, fwd_flow, fwd_occ)
 
     def __call__(self, img0, img1, num_frames: int = 17,
                  num_inference_steps: int = 50, key=None, prompt="",
@@ -179,10 +183,14 @@ class ImageInterpolationPipeline:
         noises = self.warp_noise(key, inv0, fwd_flow, fwd_occ, alphas,
                                  noise_mode=noise_mode)
         if use_slerp:
-            blended = []
-            for i, a in enumerate(alphas):
-                blended.append(slerp(noises[i:i + 1], inv1, float(a)))
-            noises = jnp.concatenate(blended, axis=0)
+            a_col = jnp.asarray(alphas, jnp.float32)
+
+            @jax.jit
+            def blend(noises, inv1):
+                return slerp(noises, jnp.repeat(inv1, noises.shape[0], 0),
+                             a_col)
+
+            noises = blend(noises, inv1)
 
         # endpoint STORE passes (slots 0 and 1, ref :604-643)
         store = self._scan("store", num_inference_steps)

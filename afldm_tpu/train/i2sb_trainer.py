@@ -15,20 +15,22 @@ from ..models import UNet2DModel, UNet2DConfig, AutoencoderKL, \
 from ..schedulers import I2SBScheduler
 from ..shift.shifters import ImageShifter, gen_valid_mask
 from ..shift.metrics import mask_mse
-from ..ops.ideal_lpf import downsample_rfft
+from ..ops.superresolution import build_sr4x
 from .trainer import Trainer, TrainState, make_optimizer, load_json
 from .ema import ema_update, EMAState
 
+_SR4X_CACHE = {}
 
-def degrade_sr4x(images):
-    """Fixed 4x degradation + nearest re-upsample (the reference builds an
-    SVD bicubic degrade via build_sr4x, superresolution.py:288-320; the
-    TPU build uses the ideal LPF decimator — both are fixed linear 4x
-    downsamplers; bicubic-exact parity comes with the weight converter
-    work)."""
-    n, h, w, c = images.shape
-    low = downsample_rfft(downsample_rfft(images, 2), 2)
-    return jnp.repeat(jnp.repeat(low, 4, axis=1), 4, axis=2)
+
+def degrade_sr4x(images, sr_filter="bicubic"):
+    """Fixed 4x bicubic degradation + nearest re-upsample (ref
+    i2sb_trainer.py:251-252 rebuilds build_sr4x per step; here the closure
+    caches per image size)."""
+    key = (images.shape[1], sr_filter)
+    if key not in _SR4X_CACHE:
+        _SR4X_CACHE[key] = build_sr4x(sr_filter, images.shape[1],
+                                      images.shape[-1])
+    return _SR4X_CACHE[key](images)
 
 
 class I2SBTrainer(Trainer):

@@ -152,9 +152,13 @@ def create_trainer(name: str, base_cfg, cfg, mesh=None) -> Trainer:
     from .vae_trainer import VAETrainer
     from .ldm_trainer import LDMTrainer
     from .i2sb_trainer import I2SBTrainer
+    from .sd_text_trainer import SDTextTrainer
+    from .norm_controlnet_trainer import NormControlNetTrainer
     registry = {
         "vae": VAETrainer,
         "ldm": LDMTrainer,
         "i2sb": I2SBTrainer,
+        "sd_text": SDTextTrainer,
+        "norm_controlnet": NormControlNetTrainer,
     }
     return registry[name](base_cfg, cfg, mesh=mesh)

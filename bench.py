@@ -53,7 +53,11 @@ def build(alias_free=True):
             eps, _ = unet.apply(params, carry, t)
             nxt, _ = sched.step(eps, t, carry, prev_timestep=pt)
             return nxt, None
-        return jax.lax.scan(body, latents, (ts[:10], ts_prev[:10]))[0]
+        out = jax.lax.scan(body, latents, (ts[:10], ts_prev[:10]))[0]
+        # in-graph scalar: materializing it on the host proves the whole
+        # program ran (block_until_ready can return early on some remote
+        # runtimes)
+        return out, out.sum()
 
     return unet, denoise10
 
@@ -67,13 +71,13 @@ def measure(device_kind, n_steps=10, repeats=3):
     params = jax.jit(unet.init)(key, x, jnp.asarray([0]))
     lat = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 4),
                             jnp.float32)
-    out = denoise10(params, lat)
-    out.block_until_ready()  # compile + warmup
+    _, s = denoise10(params, lat)
+    float(s)  # compile + warmup, true completion via host transfer
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = denoise10(params, lat)
-        out.block_until_ready()
+        _, s = denoise10(params, lat)
+        float(s)
         best = min(best, time.perf_counter() - t0)
     return n_steps / best
 

@@ -1,0 +1,56 @@
+"""Utility tests: misc helpers, training stats, IO round trip."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from afldm_tpu.utils import (assert_shape, InfiniteSampler, params_count,
+                             Collector, tensor_to_images,
+                             save_gif_from_tensors)
+
+
+def test_assert_shape_wildcards():
+    x = jnp.zeros((2, 8, 8, 3))
+    assert_shape(x, (None, 8, 8, 3))
+    with pytest.raises(AssertionError):
+        assert_shape(x, (None, 4, 8, 3))
+    with pytest.raises(AssertionError):
+        assert_shape(x, (2, 8, 8))
+
+
+def test_infinite_sampler_sharding():
+    s0 = InfiniteSampler(10, rank=0, num_replicas=2, seed=1)
+    s1 = InfiniteSampler(10, rank=1, num_replicas=2, seed=1)
+    it0, it1 = iter(s0), iter(s1)
+    a = [next(it0) for _ in range(20)]
+    b = [next(it1) for _ in range(20)]
+    assert all(0 <= i < 10 for i in a + b)
+    # both ranks together cover the dataset
+    assert set(a + b) == set(range(10))
+
+
+def test_collector_stats():
+    c = Collector()
+    c.report("loss", jnp.asarray([1.0, 2.0, 3.0]))
+    c.report("loss", jnp.asarray([4.0]))
+    assert c.num("loss") == 4
+    np.testing.assert_allclose(c.mean("loss"), 2.5)
+    np.testing.assert_allclose(c.std("loss"), np.std([1, 2, 3, 4]),
+                               rtol=1e-5)
+
+
+def test_params_count():
+    tree = {"a": np.zeros((2, 3)), "b": {"c": np.zeros(5)}}
+    assert params_count(tree) == 11
+
+
+def test_gif_roundtrip(tmp_path, rng):
+    frames = [jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 3)), jnp.float32)
+              for _ in range(3)]
+    p = tmp_path / "t.gif"
+    save_gif_from_tensors(frames, str(p))
+    assert p.exists() and p.stat().st_size > 0
+    imgs = tensor_to_images(frames[0])
+    assert len(imgs) == 2 and imgs[0].dtype == np.uint8
