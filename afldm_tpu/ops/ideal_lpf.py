@@ -352,13 +352,20 @@ def _downsample_op(N: int, down: int = 2) -> np.ndarray:
 
 
 def _apply_sep(x, op_h, op_w):
-    """y = op_h @ x @ op_w^T over the spatial axes of NHWC, on the MXU."""
+    """y = op_h @ x @ op_w^T over the spatial axes of NHWC, on the MXU.
+
+    precision=HIGHEST: the TPU default single-pass-bf16 dot costs ~1e-2
+    absolute error per application, which would burn the 0.1 dB
+    equivariance-parity budget; the 3-pass scheme matches the FFT path to
+    ~1e-6 and these ops are bandwidth-, not FLOP-, bound."""
     oh = jnp.asarray(op_h)
     ow = jnp.asarray(op_w)
     y = jnp.einsum("Hh,nhwc->nHwc", oh, x,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("Ww,nhwc->nhWc", ow, y,
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
 
 
 def upsample_rfft_matmul(x, up: int = 2):

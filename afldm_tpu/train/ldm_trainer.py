@@ -87,6 +87,17 @@ class LDMTrainer(Trainer):
         sched = self.noise_scheduler
         unet = self.unet
         vae = self.vae
+
+        if self.base_cfg.gradient_checkpointing:
+            # rematerialize UNet activations in the backward pass
+            # (ref train.py:130 enable_gradient_checkpointing)
+            def unet_apply(params, x, t, kv_in=None):
+                def f(params, x, t, kv_in):
+                    return unet.apply(params, x, t, kv_in=kv_in)
+                return jax.checkpoint(f)(params, x, t, kv_in)
+        else:
+            def unet_apply(params, x, t, kv_in=None):
+                return unet.apply(params, x, t, kv_in=kv_in)
         shifter = self.shifter
         d_factor = self.vae_config.downsample_ratio
         scaling = self.vae_config.scaling_factor
@@ -116,9 +127,9 @@ class LDMTrainer(Trainer):
                                     ).astype(jnp.float32) / d_factor
 
             if cfg.use_shift_loss and cfg.use_cross_attn:
-                pred0, kv = unet.apply(params, noisy, t)
+                pred0, kv = unet_apply(params, noisy, t)
             else:
-                pred0, kv = unet.apply(params, noisy, t)
+                pred0, kv = unet_apply(params, noisy, t)
                 kv = None
 
             shift_loss = 0.0
@@ -127,7 +138,7 @@ class LDMTrainer(Trainer):
                 cache = shifter.precompute(noisy)
                 shifted_noisy, _ = shifter.shift(noisy, ti, tj, cache=cache)
                 target, _ = shifter.shift(pred0, ti, tj)
-                pred_s, _ = unet.apply(params, shifted_noisy, t, kv_in=kv)
+                pred_s, _ = unet_apply(params, shifted_noisy, t, kv_in=kv)
                 if cfg.use_stop_grad:
                     shift_loss = mask_mse(jax.lax.stop_gradient(pred_s),
                                           target, mask)

@@ -78,6 +78,7 @@ def _run_steps(trainer, n_steps, ds):
 
 def test_ldm_trainer_loss_decreases(tmp_path):
     base = _base(tmp_path)
+    base.gradient_checkpointing = True  # exercise the remat path
     cfg = LDMTrainingConfig(vae_path="", scheduler_path="",
                             af_models=True, use_shift_loss=True,
                             use_cross_attn=True, use_ema=True,
