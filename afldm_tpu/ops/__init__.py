@@ -9,8 +9,9 @@ from .ideal_lpf import (
     subpixel_shift,
     filtered_nonlinearity,
 )
-from .bias_act import bias_act, activation_funcs
+from .bias_act import bias_act, activation_funcs, fma
 from .upfirdn2d import (
+    conv2d_resample,
     upfirdn2d,
     filter2d,
     upsample2d,
@@ -29,6 +30,8 @@ __all__ = [
     "subpixel_shift",
     "filtered_nonlinearity",
     "bias_act",
+    "fma",
+    "conv2d_resample",
     "activation_funcs",
     "upfirdn2d",
     "filter2d",

@@ -61,3 +61,10 @@ def bias_act(x, b=None, dim=-1, act="linear", alpha=None, gain=None,
     if clamp >= 0:
         x = jnp.clip(x, -clamp, clamp)
     return x
+
+
+def fma(a, b, c):
+    """Fused multiply-add a*b + c (API parity with the reference's fma op,
+    torch_utils/ops/fma.py:15; XLA fuses this on its own — the symbol
+    exists as a seam)."""
+    return a * b + c

@@ -186,3 +186,26 @@ def downsample2d(x, f, down=2, padding=0, flip_filter=False, gain=1):
     ]
     return upfirdn2d(x, f, down=down, padding=p, flip_filter=flip_filter,
                      gain=gain)
+
+
+def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
+                    flip_weight=True, flip_filter=False):
+    """2D conv with optional FIR up/downsampling (semantic equivalent of
+    the reference's conv2d_resample, torch_utils/ops/conv2d_resample.py:46:
+    upsample -> conv -> downsample with the shared FIR filter ``f``).
+
+    x: NHWC; w: (kh, kw, in/groups, out) HWIO. ``flip_weight=True`` means
+    correlation (the torch conv2d convention the reference defaults to)."""
+    assert x.ndim == 4 and w.ndim == 4
+    if up > 1:
+        x = upsample2d(x, f, up=up, flip_filter=flip_filter)
+    kern = w if flip_weight else w[::-1, ::-1]
+    x = lax.conv_general_dilated(
+        x.astype(jnp.float32), kern.astype(jnp.float32),
+        window_strides=(1, 1),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups)
+    if down > 1:
+        x = downsample2d(x, f, down=down, flip_filter=flip_filter)
+    return x

@@ -9,6 +9,7 @@ round-trips (flow_utils_np.py:31-35,155-160); here they are XLA scatter-adds
 order-independent sums, so results match the sequential loops exactly.
 """
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -246,3 +247,111 @@ def forward_upsample_flow_warp(img, fwd_flow, scale=8):
     up = upsample_rfft(img, up=scale)
     warped, occ = forward_flow_warp(up, fwd_flow)
     return warped[:, ::scale, ::scale, :], occ[:, ::scale, ::scale, :]
+
+
+class InputPadder:
+    """Pad images so dims are divisible by ``padding_factor``
+    (ref flow_utils.py:10-31). NHWC, replicate padding."""
+
+    def __init__(self, dims, mode="sintel", padding_factor=8):
+        self.ht, self.wd = dims[1], dims[2]
+        pad_ht = (((self.ht // padding_factor) + 1) * padding_factor
+                  - self.ht) % padding_factor
+        pad_wd = (((self.wd // padding_factor) + 1) * padding_factor
+                  - self.wd) % padding_factor
+        if mode == "sintel":
+            self._pad = [pad_wd // 2, pad_wd - pad_wd // 2,
+                         pad_ht // 2, pad_ht - pad_ht // 2]
+        else:
+            self._pad = [pad_wd // 2, pad_wd - pad_wd // 2, 0, pad_ht]
+
+    def pad(self, *inputs):
+        p = self._pad
+        return [jnp.pad(x, ((0, 0), (p[2], p[3]), (p[0], p[1]), (0, 0)),
+                        mode="edge") for x in inputs]
+
+    def unpad(self, x):
+        p = self._pad
+        ht, wd = x.shape[1], x.shape[2]
+        return x[:, p[2]: ht - p[3], p[0]: wd - p[1], :]
+
+
+def flow_reverse_map(feature, flow):
+    """Nearest gather along the flow (ref flow_utils.py:116-130, which
+    misspells it flow_revserse_map)."""
+    return flow_warp_nearest(feature, flow)
+
+
+def flow_warp_with_occ_bg(key, img, flow, mask, is_randn, filter=None):
+    """Backward-warp and fill disocclusions with noise or a flat random
+    color (ref flow_utils.py:89-113)."""
+    if is_randn:
+        background = jax.random.normal(key, img.shape, img.dtype)
+    else:
+        n, c = img.shape[0], img.shape[-1]
+        background = jax.random.uniform(key, (n, 1, 1, c), img.dtype) * 2 - 1
+    if filter == "lanczos":
+        from .equivariance import apply_fractional_translation
+        h, w = img.shape[1], img.shape[2]
+        tx = -float(flow[0, 0, 0, 1]) / w
+        ty = -float(flow[0, 0, 0, 0]) / h
+        warped, _ = apply_fractional_translation(img, tx, ty)
+    else:
+        warped = flow_warp(img, flow)
+    return warped * mask + background * (1 - mask)
+
+
+def get_patch_moving_flow(img_template, region_box, displacement, alpha=1):
+    """Synthetic backward flow moving one rectangular patch
+    (ref flow_utils.py:242-259)."""
+    n, h, w, _ = img_template.shape
+    u, d, l, r = region_box
+    di, dj = displacement
+    bwd_flow = np.zeros((n, h, w, 2), np.float32)
+    bwd_occ = np.zeros((n, h, w, 1), np.float32)
+    bwd_occ[:, u:d, l:r] = 1.0
+    u2 = int(np.round(u + di * alpha))
+    d2 = int(np.round(d + di * alpha))
+    l2 = int(np.round(l + dj * alpha))
+    r2 = int(np.round(r + dj * alpha))
+    bwd_flow[:, u2:d2, l2:r2, 0] = -di * alpha
+    bwd_flow[:, u2:d2, l2:r2, 1] = -dj * alpha
+    bwd_occ[:, u2:d2, l2:r2] = 0.0
+    return jnp.asarray(bwd_flow), jnp.asarray(bwd_occ)
+
+
+def noise_image_random_translate(key, img, noise, max_offset_i, max_offset_j,
+                                 noise_upsample=True, batch_size=1,
+                                 int_offset=False):
+    """Jointly translate an image and its (lower-res) noise while keeping
+    the noise distribution intact (ref flow_utils.py:347-378)."""
+    n, h, w, _ = img.shape
+    n2, h2, w2, _ = noise.shape
+    assert n == n2 and h * w2 == w * h2
+    ratio = h // h2
+    img = jnp.tile(img, (batch_size, 1, 1, 1))
+    noise = jnp.tile(noise, (batch_size, 1, 1, 1))
+    n = n * batch_size
+
+    from .shifters import gen_random_offset
+    k_off, k_bg, k_noise, k_col = jax.random.split(key, 4)
+    ti, tj = gen_random_offset(k_off, max_offset_i, max_offset_j,
+                               int_offset, 1)
+    ti, tj = ti[0], tj[0]
+    bwd_flow = jnp.broadcast_to(jnp.stack([-ti, -tj]).reshape(1, 1, 1, 2),
+                                (n, h, w, 2))
+    warped_img, bwd_mask = flow_warp(img, bwd_flow, True)
+    bwd_mask = bwd_mask[..., None].astype(jnp.float32)
+    bg = jax.random.uniform(k_bg, (n, 1, 1, img.shape[-1]), img.dtype) * 2 - 1
+    warped_img = warped_img * bwd_mask + bg * (1 - bwd_mask)
+
+    if noise_upsample:
+        hi = upsample_noise(noise, ratio, k_noise)
+        warped_noise = continuous_noise_warp_bwd(
+            hi, bwd_flow, 1 - bwd_mask, k_col, noise_ratio=ratio)
+    else:
+        noise_flow = bwd_flow[:, ::ratio, ::ratio, :] / ratio
+        noise_mask = bwd_mask[:, ::ratio, ::ratio, :]
+        warped_noise = flow_warp_with_occ_bg(k_col, noise, noise_flow,
+                                             noise_mask, True)
+    return warped_img, warped_noise

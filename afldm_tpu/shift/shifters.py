@@ -264,6 +264,28 @@ class ImageUpsampler:
                 x.shape[2] * self.scale, x.shape[3]), self.mode)
 
 
+class LearnedUpsampler:
+    """The reference ImageUpsampler 'learn' mode (shifters.py:303-331):
+    a ConvTranspose(1, 1, 4, stride=scale, pad=1) seeded with the binomial
+    blur kernel * scale^2; here a functional param + apply pair so trainers
+    can optimize the kernel."""
+
+    def __init__(self, scale=2):
+        self.scale = scale
+
+    def init_params(self):
+        import numpy as _np
+        k = _np.asarray(get_blur_kernel(4)) * self.scale ** 2
+        return {"kernel": jnp.asarray(k, jnp.float32)}
+
+    def upsample(self, params, x):
+        # ConvTranspose(1,1,4,stride,1) == upfirdn2d(up, pad=(2,1,2,1)) with
+        # the same kernel — the equivalence the reference itself notes
+        # (shifters.py:330)
+        return upfirdn2d(x, params["kernel"], up=self.scale,
+                         padding=(2, 1, 2, 1))
+
+
 class ImageDownsampler:
     """nearest / ideal / blur downsampling (ref shifters.py:341-365).
     NOTE: the reference's 'ideal' mode passes ``scale`` as the LPF *cutoff*

@@ -59,6 +59,16 @@ class ImageFolderDataset:
         return len(self.paths)
 
     def __getitem__(self, idx):
+        # fast path: the C++ decoder (native/dataloader.cpp)
+        try:
+            from .native_loader import native_available, decode_one
+            if native_available():
+                return {"input": decode_one(
+                    self.paths[idx], self.resolution,
+                    random_crop=not self.center_crop,
+                    random_flip=self.random_flip)}
+        except Exception:
+            pass
         from PIL import Image
         img = Image.open(self.paths[idx]).convert("RGB")
         w, h = img.size

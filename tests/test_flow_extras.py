@@ -1,0 +1,96 @@
+"""Tests for the remaining flow-utility parity surface."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from afldm_tpu.shift import (InputPadder, flow_reverse_map,
+                             flow_warp_with_occ_bg, get_patch_moving_flow,
+                             noise_image_random_translate,
+                             flow_warp_splat_nearest)
+from afldm_tpu.ops import conv2d_resample, setup_filter
+from afldm_tpu.ops.bias_act import fma
+from afldm_tpu.shift.shifters import LearnedUpsampler
+
+
+def test_input_padder_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((1, 30, 37, 3)), jnp.float32)
+    p = InputPadder(x.shape, padding_factor=8)
+    (xp,) = p.pad(x)
+    assert xp.shape[1] % 8 == 0 and xp.shape[2] % 8 == 0
+    back = p.unpad(xp)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_flow_reverse_map_identity(rng):
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 2)), jnp.float32)
+    got = flow_reverse_map(x, jnp.zeros((1, 6, 6, 2)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x))
+
+
+def test_flow_warp_with_occ_bg_fills(rng):
+    x = jnp.ones((1, 8, 8, 3))
+    mask = jnp.zeros((1, 8, 8, 1))  # everything occluded
+    out = flow_warp_with_occ_bg(jax.random.PRNGKey(0), x,
+                                jnp.zeros((1, 8, 8, 2)), mask,
+                                is_randn=False)
+    o = np.asarray(out)
+    assert np.allclose(o[0, :, :, 0], o[0, 0, 0, 0])  # flat color
+
+
+def test_get_patch_moving_flow():
+    img = jnp.zeros((1, 16, 16, 3))
+    flow, occ = get_patch_moving_flow(img, (2, 6, 2, 6), (4, 0), alpha=1)
+    f = np.asarray(flow)
+    o = np.asarray(occ)
+    assert np.allclose(f[0, 6:10, 2:6, 0], -4)
+    assert o[0, 2:6, 2:6].max() == 1.0  # vacated region occluded
+    assert o[0, 6:10, 2:6].max() == 0.0  # destination valid
+
+
+def test_noise_image_random_translate(rng):
+    img = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    wi, wn = noise_image_random_translate(jax.random.PRNGKey(1), img, noise,
+                                          4, 4, noise_upsample=True)
+    assert wi.shape == img.shape and wn.shape == noise.shape
+    # translated noise stays ~unit variance (distribution-preserving)
+    assert abs(float(jnp.var(wn)) - 1.0) < 0.35
+
+
+def test_splat_nearest_conserves_mass(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 1)), jnp.float32)
+    flow = jnp.ones((1, 8, 8, 2)) * 1.4  # all move (1,1) after rounding
+    out = flow_warp_splat_nearest(x, flow)
+    np.testing.assert_allclose(float(out.sum()), float(x.sum()), rtol=1e-5)
+
+
+def test_conv2d_resample_matches_composition(rng):
+    from afldm_tpu.ops import upsample2d, downsample2d
+    from jax import lax
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 5)), jnp.float32)
+    f = setup_filter([1, 3, 3, 1], separable=False)
+    got = conv2d_resample(x, w, f, up=2, down=2, padding=1)
+    up = upsample2d(x, f, up=2)
+    mid = lax.conv_general_dilated(up, w, (1, 1), ((1, 1), (1, 1)),
+                                   dimension_numbers=("NHWC", "HWIO",
+                                                      "NHWC"))
+    want = downsample2d(mid, f, down=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fma():
+    np.testing.assert_allclose(
+        np.asarray(fma(jnp.asarray(2.0), jnp.asarray(3.0),
+                       jnp.asarray(4.0))), 10.0)
+
+
+def test_learned_upsampler(rng):
+    up = LearnedUpsampler(scale=2)
+    params = up.init_params()
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), jnp.float32)
+    y = up.upsample(params, x)
+    assert y.shape == (1, 16, 16, 3)
+    # blur-kernel init approximately preserves the mean
+    assert abs(float(y.mean()) - float(x.mean())) < 0.2

@@ -67,6 +67,22 @@ def main():
                                 "metrics.jsonl")
     mfile = open(metrics_path, "a")
 
+    # preemption safety (SURVEY.md §5.3 gap in the reference): checkpoint
+    # on SIGTERM/SIGINT before exiting so "resume_from_checkpoint: latest"
+    # loses at most the in-flight step
+    import signal
+
+    def _save_and_exit(signum, frame):
+        log.warning("signal %d: writing checkpoint-%d before exit", signum,
+                    global_step)
+        save_checkpoint(base.output_dir, global_step,
+                        jax.device_get(trainer.state_for_checkpoint()),
+                        total_limit=base.checkpoints_total_limit)
+        raise SystemExit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _save_and_exit)
+    signal.signal(signal.SIGINT, _save_and_exit)
+
     log.info("training %s: %d steps/epoch, %d epochs", trainer_key,
              steps_per_epoch, base.num_epochs)
     t0 = time.time()
