@@ -19,8 +19,7 @@ from ..models import UNet2DModel, UNet2DConfig, AutoencoderKL, \
 from ..schedulers import DDPMScheduler, DDIMScheduler
 from ..shift.shifters import ImageShifter, gen_valid_mask
 from ..shift.metrics import mask_mse
-from .trainer import Trainer, TrainState, make_optimizer, load_json, \
-    apply_ema
+from .trainer import Trainer, TrainState, make_optimizer, load_json
 from .ema import ema_update, EMAState
 
 

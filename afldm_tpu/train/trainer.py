@@ -137,16 +137,6 @@ class Trainer(abc.ABC):
                           step=jnp.zeros((), jnp.int32))
 
 
-def apply_ema(state: TrainState, new_params, use_ema: bool,
-              decay: float = 0.9999):
-    if not use_ema:
-        return state.ema_params, state.ema_step
-    from .ema import EMAState
-    st = ema_update(EMAState(params=state.ema_params, step=state.ema_step),
-                    new_params, decay=decay)
-    return st.params, st.step
-
-
 def create_trainer(name: str, base_cfg, cfg, mesh=None) -> Trainer:
     """Factory (ref trainer.py:63-78)."""
     from .vae_trainer import VAETrainer
