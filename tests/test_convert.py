@@ -143,3 +143,52 @@ def test_attention_semantics_match_torch(rng):
     got, _ = attn.apply(params, xj)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                atol=1e-4)
+
+
+def test_resnet_block_semantics_match_torch(rng):
+    """Full ResnetBlock2D (norm-act-conv, temb injection, norm-act-conv,
+    shortcut) against a literal torch transcription of the diffusers
+    module."""
+    from afldm_tpu.models import ResnetBlock2D
+    C_in, C_out, T = 8, 12, 16
+    block = ResnetBlock2D(out_channels=C_out, eps=1e-5, groups=4,
+                          act_fn="silu")
+    x = rng.standard_normal((2, 6, 6, C_in)).astype(np.float32)
+    temb = rng.standard_normal((2, T)).astype(np.float32)
+    params = block.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        jnp.asarray(temb))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in flax_to_torch(params).items()}
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    tt = torch.from_numpy(temb)
+
+    def gn(name, ch, h):
+        m = torch.nn.GroupNorm(4, ch, eps=1e-5)
+        with torch.no_grad():
+            m.weight.copy_(sd[f"{name}.weight"])
+            m.bias.copy_(sd[f"{name}.bias"])
+        return m(h)
+
+    def conv(name, h, k=3, pad=1):
+        w = sd[f"{name}.weight"]
+        b = sd[f"{name}.bias"]
+        return torch.nn.functional.conv2d(h, w, b, padding=pad)
+
+    with torch.no_grad():
+        h = gn("norm1", C_in, xt)
+        h = torch.nn.functional.silu(h)
+        h = conv("conv1", h)
+        t = torch.nn.functional.silu(tt) @ sd["time_emb_proj.weight"].T \
+            + sd["time_emb_proj.bias"]
+        h = h + t[:, :, None, None]
+        h = gn("norm2", C_out, h)
+        h = torch.nn.functional.silu(h)
+        h = conv("conv2", h)
+        sc = torch.nn.functional.conv2d(xt, sd["conv_shortcut.weight"],
+                                        sd["conv_shortcut.bias"])
+        want = (sc + h).numpy()
+
+    got = block.apply(params, jnp.asarray(x), jnp.asarray(temb))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=2e-5)

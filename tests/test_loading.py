@@ -1,0 +1,108 @@
+"""Pipeline serialization round trip + CLI resume-from-checkpoint."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from afldm_tpu.models import UNet2DConfig, AutoencoderKLConfig
+from afldm_tpu.train import (BaseTrainingConfig, LDMTrainingConfig,
+                             SyntheticDataset, epoch_batches)
+from afldm_tpu.train.trainer import create_trainer
+from afldm_tpu.pipelines.loading import load_pipeline
+
+
+TINY_VAE = AutoencoderKLConfig(
+    block_out_channels=(8, 8), layers_per_block=1, latent_channels=4,
+    norm_num_groups=4, sample_size=16, scaling_factor=0.6, alias_free=True,
+    down_filtered_act=(False, True), up_filtered_act=(True, False),
+    up_rescale=(True,))
+TINY_UNET = UNet2DConfig(
+    sample_size=8, down_block_types=("DownBlock2D",),
+    up_block_types=("UpBlock2D",), block_out_channels=(8,),
+    layers_per_block=1, attention_head_dim=4, norm_num_groups=4,
+    add_attention=False, alias_free=True)
+
+
+def test_save_pipeline_then_load(tmp_path):
+    base = BaseTrainingConfig(logging_dir="logs", output_dir=str(tmp_path),
+                              resolution=16, train_batch_size=4,
+                              num_epochs=1, seed=0)
+    cfg = LDMTrainingConfig(vae_path="", scheduler_path="", af_models=True,
+                            use_shift_loss=False, learning_rate=1e-3,
+                            lr_warmup_steps=0, use_ema=True)
+    tr = create_trainer("ldm", base, cfg)
+    tr.init_modules(vae_config=TINY_VAE, unet_config=TINY_UNET,
+                    scheduler_config=dict(num_train_timesteps=100))
+    tr.init_optimizers(10)
+    tr.prepare_modules()
+    ds = SyntheticDataset(resolution=16, length=8)
+    for i, b in enumerate(epoch_batches(ds, 4, seed=0)):
+        tr.training_step(i, b)
+
+    out = tmp_path / "pipeline"
+    tr.save_pipeline(str(out))
+    assert (out / "unet_config.json").exists()
+    assert (out / "vae_config.json").exists()
+
+    pipe = load_pipeline(str(out))
+    # loaded EMA params equal the trainer's
+    for a, b in zip(jax.tree_util.tree_leaves(pipe.unet_params),
+                    jax.tree_util.tree_leaves(tr.state.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    img = pipe(batch_size=1, key=jax.random.PRNGKey(0),
+               num_inference_steps=2)
+    assert img.shape == (1, 16, 16, 3) and np.isfinite(img).all()
+
+
+def test_cli_resume(tmp_path):
+    """Train 4 steps, kill, resume from checkpoint-4, continue."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ucfg = {"sample_size": 8, "down_block_types": ["DownBlock2D"],
+            "up_block_types": ["UpBlock2D"], "block_out_channels": [8],
+            "layers_per_block": 1, "attention_head_dim": 4,
+            "norm_num_groups": 4, "add_attention": False}
+    vcfg = {"block_out_channels": [8, 8], "layers_per_block": 1,
+            "latent_channels": 4, "norm_num_groups": 4, "sample_size": 16,
+            "scaling_factor": 0.6, "up_rescale": [True],
+            "down_filtered_act": [False, True],
+            "up_filtered_act": [True, False]}
+    (tmp_path / "unet.json").write_text(json.dumps(ucfg))
+    (tmp_path / "vae").mkdir()
+    (tmp_path / "vae" / "config.json").write_text(json.dumps(vcfg))
+    (tmp_path / "sched.json").write_text(json.dumps(
+        {"num_train_timesteps": 100}))
+    cfg = {"base": {"logging_dir": "logs",
+                    "output_dir": str(tmp_path / "o"),
+                    "train_batch_size": 2, "resolution": 16,
+                    "num_epochs": 2, "checkpointing_steps": 4,
+                    "save_model_epochs": 10, "seed": 0,
+                    "resume_from_checkpoint": "latest"},
+           "ldm": {"vae_path": str(tmp_path / "vae"),
+                   "scheduler_path": str(tmp_path / "sched.json"),
+                   "unet_config": str(tmp_path / "unet.json"),
+                   "af_models": True, "use_shift_loss": False,
+                   "learning_rate": 1e-3}}
+    (tmp_path / "cfg.json").write_text(json.dumps(cfg))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    def run(max_steps):
+        return subprocess.run(
+            [sys.executable, os.path.join(root, "train.py"),
+             str(tmp_path / "cfg.json"), "--max_steps", str(max_steps)],
+            capture_output=True, text=True, timeout=600, cwd=root, env=env)
+
+    out1 = run(4)
+    assert out1.returncode == 0, out1.stderr[-2000:]
+    assert (tmp_path / "o" / "checkpoint-4").exists()
+
+    out2 = run(6)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "resuming from" in out2.stderr + out2.stdout
+    assert (tmp_path / "o" / "checkpoint-6").exists()

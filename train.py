@@ -28,7 +28,10 @@ def main():
                                  latest_checkpoint)
     from afldm_tpu.train.checkpoint import resume_step_from_path
 
-    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    # force=True: the TPU runtime bootstrap may already have configured the
+    # root logger (at WARNING), which would silently eat all INFO logs
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
+                        force=True)
     log = logging.getLogger("train")
 
     cfgs = load_training_config(args.config)
