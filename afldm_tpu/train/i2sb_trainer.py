@@ -185,6 +185,9 @@ class I2SBTrainer(Trainer):
         os.makedirs(output_dir, exist_ok=True)
         with open(os.path.join(output_dir, "unet_config.json"), "w") as f:
             _json.dump(self.unet_config.to_dict(), f, indent=2)
+        with open(os.path.join(output_dir, "scheduler_config.json"),
+                  "w") as f:
+            _json.dump(self.scheduler.config, f, indent=2)
         save_checkpoint(output_dir, int(self.state.step), {
             "unet": jax.device_get(self.state.params),
             "unet_ema": jax.device_get(self.state.ema_params)

@@ -211,6 +211,9 @@ class LDMTrainer(Trainer):
         import json as _json
         with open(os.path.join(output_dir, "unet_config.json"), "w") as f:
             _json.dump(self.unet_config.to_dict(), f, indent=2)
+        with open(os.path.join(output_dir, "scheduler_config.json"),
+                  "w") as f:
+            _json.dump(self.noise_scheduler.config, f, indent=2)
         with open(os.path.join(output_dir, "vae_config.json"), "w") as f:
             _json.dump(self.vae_config.to_dict(), f, indent=2)
         save_checkpoint(output_dir, int(self.state.step), {

@@ -54,3 +54,29 @@ def test_gif_roundtrip(tmp_path, rng):
     assert p.exists() and p.stat().st_size > 0
     imgs = tensor_to_images(frames[0])
     assert len(imgs) == 2 and imgs[0].dtype == np.uint8
+
+
+def test_feature_stats_mean_cov(rng):
+    from afldm_tpu.utils.metric_utils import FeatureStats
+    x = rng.standard_normal((500, 8)).astype(np.float32)
+    fs = FeatureStats(capture_mean_cov=True)
+    for i in range(0, 500, 100):
+        fs.append(x[i:i + 100])
+    mean, cov = fs.get_mean_cov()
+    np.testing.assert_allclose(mean, x.mean(0), atol=1e-5)
+    np.testing.assert_allclose(cov, np.cov(x.T, bias=True), atol=1e-4)
+
+    # merge equals single-pass
+    a, b = FeatureStats(capture_mean_cov=True), FeatureStats(capture_mean_cov=True)
+    a.append(x[:250]); b.append(x[250:])
+    m2, c2 = a.merge(b).get_mean_cov()
+    np.testing.assert_allclose(m2, mean, atol=1e-6)
+    np.testing.assert_allclose(c2, cov, atol=1e-6)
+
+
+def test_feature_stats_max_items(rng):
+    from afldm_tpu.utils.metric_utils import FeatureStats
+    fs = FeatureStats(capture_all=True, max_items=10)
+    fs.append(rng.standard_normal((7, 4)))
+    fs.append(rng.standard_normal((7, 4)))
+    assert fs.is_full() and fs.get_all().shape == (10, 4)
