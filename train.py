@@ -69,6 +69,14 @@ def main():
     metrics_path = os.path.join(base.output_dir, base.logging_dir,
                                 "metrics.jsonl")
     mfile = open(metrics_path, "a")
+    tb = None
+    if base.logger == "tensorboard":
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb = SummaryWriter(os.path.join(base.output_dir,
+                                            base.logging_dir))
+        except Exception as e:  # tensorboard optional
+            log.warning("tensorboard unavailable (%s); JSONL only", e)
 
     # preemption safety (SURVEY.md §5.3 gap in the reference): checkpoint
     # on SIGTERM/SIGINT before exiting so "resume_from_checkpoint: latest"
@@ -102,6 +110,10 @@ def main():
                 logs["steps_per_s"] = global_step / (time.time() - t0)
                 mfile.write(json.dumps(logs) + "\n")
                 mfile.flush()
+                if tb is not None:
+                    for k, v in logs.items():
+                        if k != "step":
+                            tb.add_scalar(k, v, global_step)
                 log.info("step %d %s", global_step,
                          {k: round(v, 5) for k, v in logs.items()})
             if global_step % base.checkpointing_steps == 0:
@@ -114,6 +126,17 @@ def main():
                 v = trainer.validate(global_step)
                 log.info("validation @%d: %s", global_step,
                          {k: v[k] for k in v if np.isscalar(v[k])})
+                if tb is not None:
+                    for k, val in v.items():
+                        if np.isscalar(val):
+                            tb.add_scalar(f"val/{k}", val, global_step)
+                        elif (isinstance(val, np.ndarray)
+                              and val.ndim == 4):
+                            # NHWC [-1,1] or [0,1] -> [0,1]
+                            img = val if val.min() >= 0 else val / 2 + 0.5
+                            tb.add_images(f"val/{k}",
+                                          np.clip(img, 0, 1),
+                                          global_step, dataformats="NHWC")
             if args.max_steps and global_step >= args.max_steps:
                 done = True
                 break
