@@ -8,8 +8,6 @@ substitutes it as the K/V source on LOAD (cross_frame_attn.py:66-125,
 3D branch). Here that is the explicit ``kv_override`` input, and the
 normed hidden states are returned for collection."""
 
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ produce the residuals the UNet consumes."""
 from dataclasses import dataclass, field, asdict
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

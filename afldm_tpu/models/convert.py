@@ -20,7 +20,6 @@ import re
 from typing import Dict
 
 import numpy as np
-import jax
 
 
 def _canon(s: str) -> str:

@@ -11,7 +11,7 @@ so one checkpoint serves both wirings.
 Layout is NHWC; parameters are float32 with a configurable compute dtype.
 """
 
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 import jax

@@ -8,7 +8,6 @@ pipelines stay runnable without vocab files."""
 from typing import Optional
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 

@@ -13,9 +13,8 @@ up/downsampling — the full surface the reference exercises.
 """
 
 from dataclasses import dataclass, field, asdict
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

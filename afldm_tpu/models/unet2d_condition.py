@@ -9,9 +9,8 @@ Also supports ControlNet residual injection: ``down_block_residuals`` /
 diffusers does for StableDiffusionControlNet pipelines."""
 
 from dataclasses import dataclass, field, asdict
-from typing import Optional, Sequence
+from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

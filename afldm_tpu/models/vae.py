@@ -12,7 +12,7 @@ Alias-free wiring (af_api.py:34-60):
 - the final conv_act silu and conv_in/out are never wrapped.
 """
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 from typing import Optional, Sequence
 
 import jax

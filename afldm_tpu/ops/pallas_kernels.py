@@ -15,7 +15,6 @@ intermediate)."""
 
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -8,10 +8,7 @@ NHWC. The bicubic taps match DDRM exactly (a=-0.5, 4*factor support,
 half-pixel centering); SRConv applies them separably with reflect padding
 and stride=factor."""
 
-from functools import partial
-
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

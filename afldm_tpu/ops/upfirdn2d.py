@@ -22,10 +22,7 @@ hand-codes at upfirdn2d.py:251-269). Separable 1D filters run as two 1D
 convs, mirroring upfirdn2d.py:244-245.
 """
 
-from __future__ import annotations
-
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -7,7 +7,6 @@ explicit forms below are for shard_map bodies and for code that wants the
 seam spelled out."""
 
 import jax
-import jax.numpy as jnp
 
 
 def grad_sync(grads, axis_name: str = "data"):

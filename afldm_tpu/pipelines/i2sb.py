@@ -2,8 +2,6 @@
 encode the degraded image as the bridge start x1, run the I2SB posterior
 (ODE mode for determinism), skip the final step, decode."""
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

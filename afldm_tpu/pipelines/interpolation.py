@@ -26,9 +26,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..shift.flow import forward_flow_warp, get_intermediate_warp_mask, \
-    flow_warp, collect_noise_pixel
-from ..shift.shifters import ImageShifter
+from ..shift.flow import get_intermediate_warp_mask, flow_warp, \
+    collect_noise_pixel
 from ..ops.ideal_lpf import upsample_rfft
 
 

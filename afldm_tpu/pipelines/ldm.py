@@ -10,8 +10,6 @@ ride in as scan xs. This replaces AttnState/CrossFrameAttnProcessor
 """
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -10,13 +10,11 @@ cache is batch-broadcast — instead of the reference's sequential per-shift
 runs."""
 
 from dataclasses import dataclass
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..shift.shifters import ImageShifter, gen_valid_mask
+from ..shift.shifters import ImageShifter
 from ..shift.metrics import mask_psnr
 
 

@@ -16,8 +16,6 @@ TPU-native structure:
 """
 
 from functools import partial
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.ideal_lpf import upsample_rfft, lpf_rfft, lpf_recon_rfft, downsample_rfft
+from ..ops.ideal_lpf import upsample_rfft, lpf_recon_rfft, downsample_rfft
 from ..ops.upfirdn2d import upfirdn2d
 from .flow import flow_warp
 from .equivariance import apply_fractional_translation

@@ -7,7 +7,6 @@ import os
 import re
 import shutil
 
-import jax
 import orbax.checkpoint as ocp
 
 

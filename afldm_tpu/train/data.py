@@ -11,7 +11,7 @@ Batches are numpy on host; ``prefetch_to_mesh`` shards them onto the device
 mesh (the cross-host input-pipeline seam of SURVEY.md §2.11)."""
 
 import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -5,7 +5,6 @@ CFA + shift loss (same pattern as the LDM trainer)."""
 
 import os
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import optax

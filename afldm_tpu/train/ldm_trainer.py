@@ -9,7 +9,6 @@ up to ±0.75*128 (ldm_trainer.py:233-237)."""
 
 import os
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import optax

@@ -12,7 +12,6 @@ here with an optax mask instead of requires_grad surgery."""
 
 import os
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
@@ -23,7 +22,6 @@ from ..models import (UNet2DConditionModel, UNet2DConditionConfig,
 from ..shift.shifters import ImageShifter, gen_valid_mask
 from ..shift.metrics import mask_mse
 from .trainer import Trainer, TrainState, make_optimizer, load_json
-from .ema import ema_update, EMAState
 
 
 class NormControlNetTrainer(Trainer):

@@ -10,17 +10,15 @@ inserts the gradient all-reduce."""
 
 import abc
 import json
-import os
 from typing import Any, Optional
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
 
 from ..parallel.mesh import create_mesh, data_sharding, replicated_sharding
-from .ema import ema_init, ema_update
+from .ema import ema_init
 
 
 class TrainState(struct.PyTreeNode):
