@@ -1,0 +1,440 @@
+"""Golden tests: afldm_tpu ops vs the ACTUAL reference code at
+/root/reference (imported through tests/_reference.py shims and run on its
+torch CPU paths). These anchor numerical parity to the reference's own
+implementation rather than a transcription of it (VERDICT round 1, item 2).
+
+Layout note: the reference is NCHW, afldm_tpu is NHWC; every comparison
+transposes at the boundary. The reference's LPF classes build square masks
+from the last axis only, so direct LPF comparisons use square inputs;
+non-square coverage goes through upfirdn2d / shifter / flow paths which the
+reference supports.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests._reference import reference_available, import_reference
+
+if not reference_available():  # pragma: no cover
+    pytest.skip("/root/reference not present", allow_module_level=True)
+
+torch = pytest.importorskip("torch")
+REF = import_reference()
+
+import importlib
+
+import afldm_tpu.ops.ideal_lpf as lpf
+
+# afldm_tpu.ops.__init__ rebinds the name "upfirdn2d" to the function, so a
+# plain "import afldm_tpu.ops.upfirdn2d as uf" would resolve to the function.
+uf = importlib.import_module("afldm_tpu.ops.upfirdn2d")
+import afldm_tpu.shift.metrics as metrics
+import afldm_tpu.shift.shifters as shifters
+import afldm_tpu.shift.equivariance as equivariance
+import afldm_tpu.shift.flow as flow
+from afldm_tpu.schedulers import I2SBScheduler
+
+TOL = 1e-5
+
+
+def to_torch(x_nhwc):
+    return torch.from_numpy(
+        np.asarray(x_nhwc, np.float32).transpose(0, 3, 1, 2).copy())
+
+
+def to_nhwc(t_nchw):
+    return np.asarray(t_nchw.detach().cpu().numpy()).transpose(0, 2, 3, 1)
+
+
+def rand_nhwc(rng, n, h, w, c):
+    return rng.standard_normal((n, h, w, c)).astype(np.float32)
+
+
+def assert_close(ours, ref_nhwc, tol=TOL, what=""):
+    ours = np.asarray(ours, np.float32)
+    ref_nhwc = np.asarray(ref_nhwc, np.float32)
+    assert ours.shape == ref_nhwc.shape, (what, ours.shape, ref_nhwc.shape)
+    err = np.max(np.abs(ours - ref_nhwc))
+    assert err <= tol, f"{what}: max abs err {err} > {tol}"
+
+
+# ---------------------------------------------------------------------------
+# Rect masks (ideal_lpf.py:12-49)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("N", [6, 7, 8, 9, 12, 16])
+def test_rect_masks(N):
+    for cutoff in (0.5, 0.25):
+        ref = REF.ideal_lpf.create_lpf_rect(N, cutoff).numpy()
+        assert_close(lpf.create_lpf_rect(N, cutoff), ref, 0,
+                     f"lpf_rect N={N} c={cutoff}")
+        ref = REF.ideal_lpf.create_recon_rect(N, cutoff).numpy()
+        assert_close(lpf.create_recon_rect(N, cutoff), ref, 0,
+                     f"recon_rect N={N} c={cutoff}")
+    for size in (2, 4, N):
+        ref = REF.ideal_lpf.create_fixed_lpf_rect(N, size).numpy()
+        assert_close(lpf.create_fixed_lpf_rect(N, size), ref, 0,
+                     f"fixed_rect N={N} s={size}")
+
+
+# ---------------------------------------------------------------------------
+# LPF / recon LPF / upsample / subpixel shift (ideal_lpf.py:52-172)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("N", [8, 12, 16])
+@pytest.mark.parametrize("cutoff", [0.5, 0.25])
+def test_lpf_rfft_golden(rng, N, cutoff):
+    x = rand_nhwc(rng, 2, N, N, 3)
+    ref = to_nhwc(REF.ideal_lpf.LPF_RFFT(cutoff=cutoff)(to_torch(x)))
+    ours = jax.jit(lambda v: lpf.lpf_rfft(v, cutoff=cutoff))(x)
+    assert_close(ours, ref, TOL, f"lpf_rfft N={N}")
+
+
+@pytest.mark.parametrize("N", [8, 12, 16])
+def test_lpf_recon_rfft_golden(rng, N):
+    x = rand_nhwc(rng, 2, N, N, 3)
+    ref = to_nhwc(REF.ideal_lpf.LPF_RECON_RFFT(cutoff=0.5)(to_torch(x)))
+    ours = jax.jit(lambda v: lpf.lpf_recon_rfft(v, cutoff=0.5))(x)
+    assert_close(ours, ref, TOL, f"lpf_recon N={N}")
+
+
+@pytest.mark.parametrize("N", [8, 10, 16])
+@pytest.mark.parametrize("up", [2, 4])
+@pytest.mark.parametrize("impl", ["ref", "spectral", "matmul"])
+def test_upsample_rfft_golden(rng, N, up, impl):
+    x = rand_nhwc(rng, 1, N, N, 2)
+    ref = to_nhwc(REF.ideal_lpf.UpsampleRFFT(up=up)(to_torch(x)))
+    ours = jax.jit(lambda v: lpf.upsample_rfft(v, up=up, impl=impl))(x)
+    assert_close(ours, ref, TOL, f"upsample N={N} up={up} impl={impl}")
+
+
+def test_upsample_rfft_factor_golden(rng):
+    x = rand_nhwc(rng, 1, 8, 8, 2)
+    ref = to_nhwc(REF.ideal_lpf.UpsampleRFFT(up=4, factor=2)(to_torch(x)))
+    ours = jax.jit(lambda v: lpf.upsample_rfft(v, up=4, factor=2,
+                                               impl="ref"))(x)
+    assert_close(ours, ref, TOL, "upsample factor=2")
+
+
+@pytest.mark.parametrize("up,sx,sy", [(2, 1, 1), (8, 3, -2)])
+def test_subpixel_shift_golden(rng, up, sx, sy):
+    x = rand_nhwc(rng, 1, 16, 16, 3)
+    ref = to_nhwc(REF.ideal_lpf.subpixel_shift(
+        to_torch(x), up=up, shift_x=sx, shift_y=sy))
+    ours = jax.jit(lambda v: lpf.subpixel_shift(
+        v, up=up, shift_x=sx, shift_y=sy))(x)
+    assert_close(ours, ref, TOL, f"subpixel up={up}")
+
+
+# ---------------------------------------------------------------------------
+# The full WarpedNonlinearity sandwich (af_blocks.py:12-28), composed from
+# the reference's own LPF modules: up2x -> silu -> LPF(1/2) -> decimate.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("N", [8, 12, 10])
+@pytest.mark.parametrize("impl", ["ref", "spectral", "matmul"])
+def test_warped_nonlinearity_sandwich_golden(rng, N, impl):
+    x = rand_nhwc(rng, 2, N, N, 4)
+    xt = to_torch(x)
+    hi = REF.ideal_lpf.UpsampleRFFT(up=2)(xt)
+    hi = torch.nn.functional.silu(hi)
+    lo = REF.ideal_lpf.LPF_RFFT(cutoff=0.5)(hi)[:, :, ::2, ::2]
+    ref = to_nhwc(lo)
+    ours = lpf.filtered_nonlinearity(x, act="silu", impl=impl)
+    assert_close(ours, ref, TOL, f"warped_nl N={N} impl={impl}")
+
+
+# ---------------------------------------------------------------------------
+# Metrics (shift_utils/metrics.py)
+# ---------------------------------------------------------------------------
+
+def test_metrics_golden(rng):
+    a = rand_nhwc(rng, 3, 8, 8, 2)
+    b = rand_nhwc(rng, 3, 8, 8, 2)
+    m = (rng.uniform(size=(3, 8, 8, 2)) > 0.3).astype(np.float32)
+    ref_mse = float(REF.metrics.mask_mse(to_torch(a), to_torch(b),
+                                         to_torch(m)))
+    ref_psnr = float(REF.metrics.mask_psnr(to_torch(a), to_torch(b),
+                                           to_torch(m)))
+    ref_p = float(REF.metrics.psnr(to_torch(a), to_torch(b)))
+    assert abs(float(metrics.mask_mse(a, b, m)) - ref_mse) < 1e-5
+    assert abs(float(metrics.mask_psnr(a, b, m)) - ref_psnr) < 1e-4
+    assert abs(float(metrics.psnr(a, b)) - ref_p) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Shifters: masks + all six filter modes (shift_utils/shifters.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ti,tj", [(2.0, -3.0), (0.5, -1.25), (-7.0, 0.0),
+                                   (0.0, 0.0)])
+def test_gen_valid_mask_golden(ti, tj):
+    ref = REF.shifters.gen_valid_mask((2, 3, 8, 10), ti, tj).numpy()
+    ours = np.asarray(shifters.gen_valid_mask((2, 8, 10, 3), ti, tj))
+    assert_close(ours, ref.transpose(0, 2, 3, 1), 0, "gen_valid_mask")
+
+
+@pytest.mark.parametrize("mode", shifters.FILTER_CHOICES)
+@pytest.mark.parametrize("ti,tj", [(2.0, -3.0), (0.5, -1.25)])
+def test_shifter_modes_golden(rng, mode, ti, tj):
+    x = rand_nhwc(rng, 2, 16, 16, 3)
+    kwargs = {}
+    if mode in ("ideal", "ideal_crop"):
+        kwargs["upsample_ratio"] = 8
+    ref_sh = REF.shifters.ImageShifter(mode, **kwargs)
+    ref_w, ref_m = ref_sh.shift(to_torch(x), ti, tj)
+    ours_sh = shifters.ImageShifter(mode, **kwargs)
+    our_w, our_m = ours_sh.shift(x, ti, tj)
+    assert_close(our_w, to_nhwc(ref_w), 2e-5, f"shift[{mode}] warped")
+    ref_m = ref_m.to(torch.float32)
+    if ref_m.shape[1] == 1:
+        ref_m_nhwc = to_nhwc(ref_m)
+        our_m = np.asarray(our_m, np.float32).reshape(ref_m_nhwc.shape)
+        assert_close(our_m, ref_m_nhwc, 0, f"shift[{mode}] mask")
+    else:
+        assert_close(our_m, to_nhwc(ref_m), 0, f"shift[{mode}] mask")
+
+
+def test_fourier_shift_batch_golden(rng):
+    # square only: the reference's phase grid is built [W, H]-transposed
+    # (shifters.py:118-124) and only broadcasts when H == W; afldm_tpu
+    # additionally supports non-square (tested in test_shift.py).
+    x = rand_nhwc(rng, 2, 16, 16, 3)
+    ref = to_nhwc(REF.shifters.fourier_shift_batch(
+        to_torch(x), 1.5, -2.25, torch.device("cpu")))
+    ours = jax.jit(lambda v: shifters.fourier_shift_batch(v, 1.5, -2.25))(x)
+    assert_close(ours, ref, TOL, "fourier_shift_batch")
+
+
+# ---------------------------------------------------------------------------
+# upfirdn2d and wrappers vs the reference's pure-torch impl='ref' path
+# (torch_utils/ops/upfirdn2d.py:118-273; CPU automatically selects ref)
+# ---------------------------------------------------------------------------
+
+UPFIRDN_CASES = [
+    dict(up=1, down=1, padding=(1, 2, 3, 4), flip_filter=False, gain=1),
+    dict(up=2, down=1, padding=2, flip_filter=False, gain=1),
+    dict(up=1, down=2, padding=1, flip_filter=True, gain=1),
+    dict(up=2, down=2, padding=(2, 1, 1, 2), flip_filter=False, gain=2),
+    dict(up=(2, 1), down=(1, 2), padding=(1, 1, 2, 2), flip_filter=False,
+         gain=1),
+]
+
+
+@pytest.mark.parametrize("case", UPFIRDN_CASES)
+@pytest.mark.parametrize("fshape", [(3, 5), (4,)])
+def test_upfirdn2d_golden(rng, case, fshape):
+    x = rand_nhwc(rng, 2, 10, 12, 3)
+    f = rng.standard_normal(fshape).astype(np.float32)
+    ref = to_nhwc(REF.upfirdn2d.upfirdn2d(
+        to_torch(x), torch.from_numpy(f), **case))
+    ours = uf.upfirdn2d(x, jnp.asarray(f), **case)
+    assert_close(ours, ref, TOL, f"upfirdn2d {case} f={fshape}")
+
+
+def test_upfirdn_wrappers_golden(rng):
+    x = rand_nhwc(rng, 1, 8, 10, 2)
+    f = rng.standard_normal((4, 4)).astype(np.float32)
+    ft = torch.from_numpy(f)
+    fj = jnp.asarray(f)
+    assert_close(uf.filter2d(x, fj), to_nhwc(
+        REF.upfirdn2d.filter2d(to_torch(x), ft)), TOL, "filter2d")
+    assert_close(uf.upsample2d(x, fj, up=2), to_nhwc(
+        REF.upfirdn2d.upsample2d(to_torch(x), ft, up=2)), TOL, "upsample2d")
+    assert_close(uf.downsample2d(x, fj, down=2), to_nhwc(
+        REF.upfirdn2d.downsample2d(to_torch(x), ft, down=2)), TOL,
+        "downsample2d")
+
+
+def test_setup_filter_golden():
+    for fin in ([1, 3, 3, 1], [[1, 2], [3, 4]], None):
+        ref = REF.upfirdn2d.setup_filter(fin, gain=2).numpy()
+        ours = np.asarray(uf.setup_filter(fin, gain=2))
+        assert_close(ours, ref, 1e-6, f"setup_filter {fin}")
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN-3 equivariance translation ops (af_libs/equivariance.py)
+# ---------------------------------------------------------------------------
+
+def test_integer_translation_golden(rng):
+    x = rand_nhwc(rng, 2, 12, 16, 3)
+    ref_y, ref_m = REF.equivariance.apply_integer_translation(
+        to_torch(x), 0.21, -0.33)
+    our_y, our_m = equivariance.apply_integer_translation(x, 0.21, -0.33)
+    assert_close(our_y, to_nhwc(ref_y), TOL, "int translation")
+    assert_close(our_m, to_nhwc(ref_m), TOL, "int translation mask")
+
+
+def test_fractional_translation_golden(rng):
+    x = rand_nhwc(rng, 2, 12, 16, 3)
+    ref_y, ref_m = REF.equivariance.apply_fractional_translation(
+        to_torch(x), 0.137, -0.291)
+    our_y, our_m = equivariance.apply_fractional_translation(x, 0.137, -0.291)
+    assert_close(our_y, to_nhwc(ref_y), 2e-5, "frac translation")
+    assert_close(our_m, to_nhwc(ref_m), 2e-5, "frac translation mask")
+
+
+def test_affine_bandlimit_filter_golden():
+    angle = 0.3
+    mat = np.array([[np.cos(angle), -np.sin(angle)],
+                    [np.sin(angle), np.cos(angle)]], np.float32)
+    ref = REF.equivariance.construct_affine_bandlimit_filter(
+        torch.from_numpy(mat)).numpy()
+    ours = np.asarray(equivariance.construct_affine_bandlimit_filter(mat))
+    assert_close(ours, ref, 1e-4, "affine bandlimit filter")
+
+
+def test_fractional_rotation_golden(rng):
+    x = rand_nhwc(rng, 1, 16, 16, 2)
+    ref_y, ref_m = REF.equivariance.apply_fractional_rotation(
+        to_torch(x), 0.2)
+    our_y, our_m = equivariance.apply_fractional_rotation(x, 0.2)
+    assert_close(our_y, to_nhwc(ref_y), 1e-4, "frac rotation")
+    assert_close(our_m, to_nhwc(ref_m), 1e-4, "frac rotation mask")
+
+
+# ---------------------------------------------------------------------------
+# Flow warps: torch path + the numba splats (run as plain python via shim)
+# ---------------------------------------------------------------------------
+
+def _rand_flow(rng, n, h, w, scale=2.5):
+    return (rng.uniform(size=(n, h, w, 2)).astype(np.float32) * 2 - 1) * scale
+
+
+def test_flow_warp_golden(rng):
+    x = rand_nhwc(rng, 2, 10, 14, 3)
+    fl = _rand_flow(rng, 2, 10, 14)
+    # reference flow layout is (N, 2, H, W) ordered (di, dj)
+    fl_t = torch.from_numpy(fl.transpose(0, 3, 1, 2).copy())
+    ref_y, ref_m = REF.flow_utils.flow_warp(to_torch(x), fl_t, mask=True)
+    our_y, our_m = flow.flow_warp(x, fl, mask=True)
+    assert_close(our_y, to_nhwc(ref_y), 2e-5, "flow_warp")
+    assert_close(np.asarray(our_m, np.float32),
+                 ref_m.to(torch.float32).numpy(), 0, "flow_warp mask")
+
+
+def test_forward_flow_warp_golden(rng):
+    x = rand_nhwc(rng, 1, 8, 8, 2)
+    fl = _rand_flow(rng, 1, 8, 8, scale=2.0)
+    fl_t = torch.from_numpy(fl.transpose(0, 3, 1, 2).copy())
+    ref_y, ref_occ = REF.flow_utils_np.forward_flow_warp(to_torch(x), fl_t)
+    our_y, our_occ = flow.forward_flow_warp(x, fl)
+    assert_close(our_y, to_nhwc(ref_y), 1e-5, "forward_flow_warp")
+    assert_close(our_occ, to_nhwc(ref_occ), 0, "forward_flow_warp occ")
+
+
+def test_splat_nearest_golden(rng):
+    x = rand_nhwc(rng, 1, 8, 8, 2)
+    fl = np.round(_rand_flow(rng, 1, 8, 8, scale=2.0))
+    occ = (rng.uniform(size=(1, 8, 8, 1)) > 0.7).astype(np.float32)
+    fl_t = torch.from_numpy(fl.transpose(0, 3, 1, 2).copy())
+    occ_t = torch.from_numpy(occ.transpose(0, 3, 1, 2).copy())
+    ref = REF.flow_utils_np.flow_warp2(to_torch(x), fl_t, occ_t)
+    ours = flow.flow_warp_splat_nearest(x, fl, occ)
+    assert_close(ours, to_nhwc(ref), 1e-5, "flow_warp2 splat")
+
+
+def test_intermediate_warp_mask_golden(rng):
+    fl = _rand_flow(rng, 1, 8, 8, scale=2.0)
+    occ = (rng.uniform(size=(1, 8, 8, 1)) > 0.8).astype(np.float32)
+    fl_t = torch.from_numpy(fl.transpose(0, 3, 1, 2).copy())
+    occ_t = torch.from_numpy(occ.transpose(0, 3, 1, 2).copy())
+    ref_bf, ref_occ = REF.flow_utils_np.get_intermediate_warp_mask(
+        fl_t, occ_t, 0.5)
+    our_bf, our_occ = flow.get_intermediate_warp_mask(fl, occ, 0.5)
+    ref_occ = to_nhwc(ref_occ)
+    assert_close(our_occ, ref_occ, 0, "warp mask occ")
+    # bwd flow is order-defined where count > 1; those cells are masked
+    # occluded by both implementations — compare the visible cells only.
+    vis = 1.0 - ref_occ
+    assert_close(np.asarray(our_bf) * vis, to_nhwc(ref_bf) * vis, 1e-6,
+                 "warp mask bwd flow (visible)")
+
+
+# ---------------------------------------------------------------------------
+# I2SB scheduler: tables, timestep spacing, bridge ops, full ODE trajectory
+# (schedulers/i2sb_scheduler.py:142-531)
+# ---------------------------------------------------------------------------
+
+I2SB_CONFIGS = [
+    dict(num_train_timesteps=1000, beta_start=1e-4, beta_end=0.02,
+         beta_schedule="linear"),
+    dict(num_train_timesteps=1000, beta_start=0.0015, beta_end=0.0195,
+         beta_schedule="scaled_linear", clip_sample=False),
+]
+
+
+@pytest.mark.parametrize("cfg", I2SB_CONFIGS)
+def test_i2sb_tables_golden(cfg):
+    ref = REF.i2sb_scheduler.I2SBScheduler(**cfg)
+    ours = I2SBScheduler(**cfg)
+    for name in ("betas", "std_fwd", "std_bwd", "std_sb", "mu_x0", "mu_x1"):
+        r = getattr(ref, name).numpy()
+        o = np.asarray(getattr(ours, name), np.float32)
+        assert_close(o, r, 1e-5, f"i2sb.{name}")
+
+
+@pytest.mark.parametrize("spacing", ["linspace", "leading", "trailing"])
+def test_i2sb_set_timesteps_golden(spacing):
+    ref = REF.i2sb_scheduler.I2SBScheduler(timestep_spacing=spacing)
+    ref.set_timesteps(50)
+    ours = I2SBScheduler(timestep_spacing=spacing)
+    ours.set_timesteps(50)
+    assert np.array_equal(np.asarray(ours.timesteps),
+                          ref.timesteps.numpy()), spacing
+
+
+def test_i2sb_custom_timesteps_golden():
+    ts = [900, 600, 300, 100, 0]
+    ref = REF.i2sb_scheduler.I2SBScheduler()
+    ref.set_timesteps(timesteps=ts)
+    ours = I2SBScheduler()
+    ours.set_timesteps(timesteps=ts)
+    assert np.array_equal(np.asarray(ours.timesteps), ref.timesteps.numpy())
+
+
+def test_i2sb_add_noise_label_golden(rng):
+    x0 = rand_nhwc(rng, 2, 4, 4, 3)
+    x1 = rand_nhwc(rng, 2, 4, 4, 3)
+    t = np.array([100, 700])
+    ref = REF.i2sb_scheduler.I2SBScheduler()
+    ours = I2SBScheduler()
+    ref_xt = ref.add_noise(to_torch(x0), to_torch(x1),
+                           torch.from_numpy(t), is_ode=True)
+    our_xt = ours.add_noise(x0, x1, t, is_ode=True)
+    assert_close(our_xt, to_nhwc(ref_xt), 1e-5, "i2sb add_noise ode")
+    ref_lbl = ref.compute_label(torch.from_numpy(t), to_torch(x0), ref_xt)
+    our_lbl = ours.compute_label(t, x0, our_xt)
+    assert_close(our_lbl, to_nhwc(ref_lbl), 1e-5, "i2sb compute_label")
+
+
+@pytest.mark.parametrize("cfg", I2SB_CONFIGS)
+def test_i2sb_ode_trajectory_golden(rng, cfg):
+    """Deterministic (ODE) denoise with a fixed fake model: the same
+    trajectory must fall out of both schedulers. The final step is skipped
+    exactly as the reference pipeline does (i2sb_pipeline.py:47-49 — its
+    previous_timestep would go negative there)."""
+    ref = REF.i2sb_scheduler.I2SBScheduler(**cfg)
+    ours = I2SBScheduler(**cfg)
+    ref.set_timesteps(8)
+    ours.set_timesteps(8)
+
+    x = rand_nhwc(rng, 1, 4, 4, 2)
+    w = rng.standard_normal((2,)).astype(np.float32) * 0.1
+
+    xt_ref = to_torch(x)
+    xt_our = jnp.asarray(x)
+    ts = np.asarray(ours.timesteps)
+    for i, t in enumerate(ts[:-1]):
+        eps_ref = xt_ref * torch.from_numpy(w).reshape(1, 2, 1, 1)
+        out = ref.step(eps_ref, int(t), xt_ref, is_ode=True)
+        xt_ref = out.prev_sample
+
+        eps_our = xt_our * jnp.asarray(w).reshape(1, 1, 1, 2)
+        xt_our, _ = ours.step(eps_our, int(t), int(ts[i + 1]), xt_our,
+                              is_ode=True)
+    assert_close(xt_our, to_nhwc(xt_ref), 2e-5, "i2sb ODE trajectory")
