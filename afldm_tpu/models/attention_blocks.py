@@ -70,7 +70,8 @@ class FeedForward(nn.Module):
         inner = self.dim_out * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # diffusers GEGLU uses exact (erf) gelu, not the tanh approximation
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim_out, dtype=self.dtype, name="net_2")(h)
 
 
@@ -83,17 +84,18 @@ class BasicTransformerBlock(nn.Module):
     def __call__(self, x, encoder_hidden_states, kv_override=None,
                  kv_override2=None, alpha=None):
         C = x.shape[-1]
-        normed = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        # torch nn.LayerNorm (diffusers BasicTransformerBlock) eps is 1e-5
+        normed = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         stored = normed  # the CFA cache entry (3D pre-attention map)
         attn_out = CrossAttention(self.num_heads, self.head_dim,
                                   dtype=self.dtype, name="attn1")(
             normed, kv_override, kv_override2, alpha)
         x = x + attn_out
-        normed = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        normed = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(self.num_heads, self.head_dim,
                                dtype=self.dtype, name="attn2")(
             normed, encoder_hidden_states)
-        normed = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        normed = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(C, dtype=self.dtype, name="ff")(normed)
         return x, stored
 

@@ -100,7 +100,7 @@ def flax_to_torch(flax_params) -> Dict[str, np.ndarray]:
     inner = flax_params["params"] if "params" in flax_params else flax_params
     flat = _flatten(inner)
     containers = ("down_blocks|up_blocks|resnets|attentions|downsamplers"
-                  "|upsamplers|to_out|transformer_blocks|norms|nets"
+                  "|upsamplers|to_out|transformer_blocks|norms|nets|net"
                   "|controlnet_down_blocks|conv")
     out = {}
     for path, val in flat.items():

@@ -24,8 +24,14 @@ class TextEncoder:
                  dtype=jnp.float32):
         from transformers import CLIPTextConfig, FlaxCLIPTextModel
         if pretrained_dir:
-            self.model = FlaxCLIPTextModel.from_pretrained(pretrained_dir,
-                                                           dtype=dtype)
+            try:
+                self.model = FlaxCLIPTextModel.from_pretrained(
+                    pretrained_dir, dtype=dtype)
+            except (OSError, EnvironmentError):
+                # local dir holds torch weights only (the reference SD
+                # checkpoints ship pytorch_model.bin) — convert on load
+                self.model = FlaxCLIPTextModel.from_pretrained(
+                    pretrained_dir, dtype=dtype, from_pt=True)
         else:
             cfg = CLIPTextConfig(**CLIP_VIT_L_TEXT_CONFIG)
             self.model = FlaxCLIPTextModel(cfg, seed=seed, dtype=dtype)
