@@ -160,13 +160,17 @@ class ImageInterpolationPipeline:
 
         if flows is None:
             if self.flow_fn is None:
-                h, w = img0.shape[1], img0.shape[2]
-                lh = h // self.vae.config.downsample_ratio * 8
-                z2 = jnp.zeros((1, lh, lh, 2))
-                flows = (z2, jnp.zeros((1, lh, lh, 1)), z2,
-                         jnp.zeros((1, lh, lh, 1)))
-            else:
-                flows = self.flow_fn(img0, img1)
+                # zero flow turns the noise warping into a no-op — never do
+                # that silently (VERDICT r1 weak-5; same bug class as the
+                # reference's enable_morph drift, SURVEY §2.12-4)
+                raise ValueError(
+                    "ImageInterpolationPipeline needs optical flow: pass "
+                    "flows=(fwd, fwd_occ, bwd, bwd_occ) or construct the "
+                    "pipeline with a flow_fn (e.g. shift.simple_flow."
+                    "lk_flow_fn or models.gmflow). To intentionally "
+                    "interpolate without warping, pass zero flows "
+                    "explicitly.")
+            flows = self.flow_fn(img0, img1)
         fwd_flow, fwd_occ, bwd_flow, bwd_occ = flows
 
         lat0 = self.encode(img0)

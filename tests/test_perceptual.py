@@ -1,0 +1,82 @@
+"""Perceptual loss: random-feature proxy + the VGG16/lpips checkpoint
+loader (VERDICT r1 item 8 — the loader must actually exist and work)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from afldm_tpu.train import perceptual
+
+torch = pytest.importorskip("torch")
+
+# torchvision vgg16.features conv metadata: (index, in_c, out_c), scaled
+# down 16x so the test checkpoint stays tiny
+_VGG_CONVS = [(0, 3, 4), (2, 4, 4), (5, 4, 8), (7, 8, 8), (10, 8, 16),
+              (12, 16, 16), (14, 16, 16), (17, 16, 32), (19, 32, 32),
+              (21, 32, 32), (24, 32, 32), (26, 32, 32), (28, 32, 32)]
+
+
+def _fake_vgg_checkpoint(path):
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+    for idx, cin, cout in _VGG_CONVS:
+        sd[f"features.{idx}.weight"] = torch.randn((cout, cin, 3, 3),
+                                                   generator=g) * 0.1
+        sd[f"features.{idx}.bias"] = torch.randn((cout,), generator=g) * 0.01
+    sd["classifier.0.weight"] = torch.zeros((2, 2))  # must be ignored
+    torch.save(sd, path)
+
+
+def test_random_proxy_loss(rng):
+    a = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    b = a + 0.1
+    loss = perceptual.perceptual_loss(a, b)
+    assert float(loss) > 0
+    assert float(perceptual.perceptual_loss(a, a)) < 1e-10
+
+
+def test_load_lpips_vgg_features(tmp_path, rng):
+    ckpt = tmp_path / "vgg16.pth"
+    _fake_vgg_checkpoint(str(ckpt))
+    stages = perceptual.load_lpips_vgg_features(str(ckpt), set_default=False)
+    assert len(stages) == 5
+    assert [len(s) for s in stages] == [2, 2, 3, 3, 3]
+    w0, b0 = stages[0][0]
+    assert w0.shape == (3, 3, 3, 4) and b0.shape == (4,)  # HWIO
+
+    a = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    loss = jax.jit(lambda x, y: perceptual.perceptual_loss(
+        x, y, filters=stages))(a, b)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    g = jax.grad(lambda x: perceptual.perceptual_loss(x, b,
+                                                      filters=stages))(a)
+    assert np.isfinite(np.asarray(g)).all()
+
+    # set_default swaps the proxy globally, and is restorable
+    try:
+        perceptual.load_lpips_vgg_features(str(ckpt))
+        assert perceptual._filters() is not None
+        l2 = perceptual.perceptual_loss(a, b)
+        np.testing.assert_allclose(float(l2), float(loss), rtol=1e-6)
+    finally:
+        perceptual._DEFAULT_FILTERS = None
+
+
+def test_load_rejects_non_vgg(tmp_path):
+    torch.save({"foo.weight": torch.zeros((2, 2))}, tmp_path / "x.pth")
+    with pytest.raises(ValueError, match="not a VGG16"):
+        perceptual.load_lpips_vgg_features(str(tmp_path / "x.pth"))
+
+
+def test_interpolation_requires_flow():
+    """ImageInterpolationPipeline must refuse to run with no flow source
+    instead of silently warping with zeros."""
+    from afldm_tpu.pipelines.interpolation import ImageInterpolationPipeline
+
+    pipe = ImageInterpolationPipeline.__new__(ImageInterpolationPipeline)
+    pipe.flow_fn = None
+    with pytest.raises(ValueError, match="needs optical flow"):
+        pipe(jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3)),
+             num_frames=2, key=jax.random.PRNGKey(0))

@@ -121,9 +121,11 @@ def test_video_editing_inversion_path(sd_parts):
 
 def test_interpolation_pipeline(sd_parts):
     unet, up, vae, vp = sd_parts
+    from afldm_tpu.shift.simple_flow import predict_flow
     pipe = ImageInterpolationPipeline(vae, vp, unet, up,
                                       DDIMScheduler(**DDIM_CFG),
-                                      text_encoder=_ZeroTextEncoder())
+                                      text_encoder=_ZeroTextEncoder(),
+                                      flow_fn=predict_flow)
     img0 = jax.random.normal(jax.random.PRNGKey(9), (1, 64, 64, 3)) * 0.3
     img1 = jnp.roll(img0, 8, axis=2)
     out = pipe(img0, img1, num_frames=3, num_inference_steps=2,
@@ -136,9 +138,11 @@ def test_interpolation_endpoint_consistency(sd_parts):
     """alpha=0 frame uses kv0 only; its trajectory should match a plain
     STORE denoise of the same starting noise."""
     unet, up, vae, vp = sd_parts
+    from afldm_tpu.shift.simple_flow import predict_flow
     pipe = ImageInterpolationPipeline(vae, vp, unet, up,
                                       DDIMScheduler(**DDIM_CFG),
-                                      text_encoder=_ZeroTextEncoder())
+                                      text_encoder=_ZeroTextEncoder(),
+                                      flow_fn=predict_flow)
     img0 = jax.random.normal(jax.random.PRNGKey(11), (1, 64, 64, 3)) * 0.3
     img1 = jnp.roll(img0, 4, axis=1)
     out = pipe(img0, img1, num_frames=2, num_inference_steps=2,
