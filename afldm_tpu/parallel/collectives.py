@@ -29,7 +29,15 @@ def broadcast(value, axis_name: str = "data", src: int = 0):
 
 
 def shard_batch(batch, mesh):
-    """Place a host batch onto the mesh, sharded along the batch dim."""
+    """Place a host batch onto the mesh, sharded along the batch dim.
+
+    Single-process: a plain device_put. Multi-host: each process passes its
+    PER-HOST slice (see train.data.epoch_batches(process_index=...)) and the
+    global array is assembled with make_array_from_process_local_data — the
+    jax replacement for the DataLoader+DistributedSampler pair."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     sh = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, x), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

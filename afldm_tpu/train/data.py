@@ -101,13 +101,22 @@ def make_dataset(base_cfg):
     return SyntheticDataset(resolution=base_cfg.resolution)
 
 
-def epoch_batches(dataset, batch_size, seed=0, drop_last=True
-                  ) -> Iterator[dict]:
-    """Shuffled epoch iterator yielding stacked numpy batches."""
+def epoch_batches(dataset, batch_size, seed=0, drop_last=True,
+                  process_index=0, process_count=1) -> Iterator[dict]:
+    """Shuffled epoch iterator yielding stacked numpy batches.
+
+    ``batch_size`` is the GLOBAL batch; with ``process_count > 1`` every
+    host draws the same seeded permutation and yields only its
+    ``batch_size / process_count`` slice of each global batch (the
+    DistributedSampler contract — pair with parallel.collectives.shard_batch
+    which reassembles the global array)."""
+    assert batch_size % process_count == 0, (batch_size, process_count)
+    per_host = batch_size // process_count
     order = np.random.default_rng(seed).permutation(len(dataset))
     n_full = len(order) // batch_size
     for b in range(n_full):
-        idxs = order[b * batch_size:(b + 1) * batch_size]
+        start = b * batch_size + process_index * per_host
+        idxs = order[start:start + per_host]
         items = [dataset[int(i)] for i in idxs]
         yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 

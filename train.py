@@ -19,9 +19,20 @@ def main():
     parser.add_argument("config", type=str)
     parser.add_argument("--max_steps", type=int, default=None,
                         help="optional hard cap for smoke runs")
+    parser.add_argument("--profile", type=int, default=0, metavar="N",
+                        help="capture a jax.profiler trace of train steps "
+                             "11..10+N into <output_dir>/<logging_dir>/"
+                             "profile (view with TensorBoard/XProf)")
     args = parser.parse_args()
 
     import jax
+    from afldm_tpu.parallel.mesh import initialize_distributed
+
+    # multi-host bring-up before any backend touch (no-op single-process;
+    # set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID per
+    # host — the accelerate-launch replacement, SURVEY.md §2.11)
+    multihost = initialize_distributed()
+
     from afldm_tpu.train import (load_training_config, create_trainer,
                                  make_dataset, epoch_batches,
                                  save_checkpoint, restore_checkpoint,
@@ -33,6 +44,11 @@ def main():
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
                         force=True)
     log = logging.getLogger("train")
+
+    is_main = jax.process_index() == 0
+    if multihost:
+        log.info("multi-host: process %d/%d", jax.process_index(),
+                 jax.process_count())
 
     cfgs = load_training_config(args.config)
     base = cfgs["base"]
@@ -102,9 +118,23 @@ def main():
         if done:
             break
         for batch in epoch_batches(dataset, base.train_batch_size,
-                                   seed=(base.seed or 0) + epoch):
+                                   seed=(base.seed or 0) + epoch,
+                                   process_index=jax.process_index(),
+                                   process_count=jax.process_count()):
+            # profile a window after warmup/compile (step 10) so the trace
+            # holds steady-state steps only (SURVEY.md §5.1)
+            if args.profile and global_step == 10:
+                from afldm_tpu.utils.profiling import trace
+                prof_dir = os.path.join(base.output_dir, base.logging_dir,
+                                        "profile")
+                prof = trace(prof_dir)
+                prof.__enter__()
+                log.info("profiling %d steps -> %s", args.profile, prof_dir)
             logs = trainer.training_step(global_step, batch)
             global_step += 1
+            if args.profile and global_step == 10 + args.profile:
+                prof.__exit__(None, None, None)
+                log.info("profile written")
             if global_step % 10 == 0:
                 logs["step"] = global_step
                 logs["steps_per_s"] = global_step / (time.time() - t0)
@@ -116,7 +146,7 @@ def main():
                             tb.add_scalar(k, v, global_step)
                 log.info("step %d %s", global_step,
                          {k: round(v, 5) for k, v in logs.items()})
-            if global_step % base.checkpointing_steps == 0:
+            if global_step % base.checkpointing_steps == 0 and is_main:
                 save_checkpoint(base.output_dir, global_step,
                                 jax.device_get(
                                     trainer.state_for_checkpoint()),
@@ -140,14 +170,15 @@ def main():
             if args.max_steps and global_step >= args.max_steps:
                 done = True
                 break
-        if (epoch + 1) % base.save_model_epochs == 0 or done:
+        if ((epoch + 1) % base.save_model_epochs == 0 or done) and is_main:
             trainer.save_pipeline(os.path.join(base.output_dir, "pipeline"))
             log.info("saved pipeline (epoch %d)", epoch)
 
-    save_checkpoint(base.output_dir, global_step,
-                    jax.device_get(trainer.state_for_checkpoint()),
-                    total_limit=base.checkpoints_total_limit)
-    trainer.save_pipeline(os.path.join(base.output_dir, "pipeline"))
+    if is_main:
+        save_checkpoint(base.output_dir, global_step,
+                        jax.device_get(trainer.state_for_checkpoint()),
+                        total_limit=base.checkpoints_total_limit)
+        trainer.save_pipeline(os.path.join(base.output_dir, "pipeline"))
     log.info("done at step %d", global_step)
 
 
