@@ -101,7 +101,10 @@ def flax_to_torch(flax_params) -> Dict[str, np.ndarray]:
     flat = _flatten(inner)
     containers = ("down_blocks|up_blocks|resnets|attentions|downsamplers"
                   "|upsamplers|to_out|transformer_blocks|norms|nets|net"
-                  "|controlnet_down_blocks|conv")
+                  "|controlnet_down_blocks|conv"
+                  # gmflow containers (backbone.layerK.J handled by the
+                  # digit-chain rule; these are the named ones)
+                  "|layers|downsample|upsampler|mlp")
     out = {}
     for path, val in flat.items():
         val = np.asarray(val)
