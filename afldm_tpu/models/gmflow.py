@@ -37,7 +37,6 @@ param tree; InstanceNorms are affine-free exactly as upstream
 """
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import numpy as np

@@ -19,10 +19,10 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.ideal_lpf import (
-    filtered_nonlinearity,
     upsample_rfft,
     downsample_rfft,
 )
+from ..ops.pallas_kernels import filtered_act_fused
 
 
 def get_timestep_embedding(timesteps, embedding_dim: int,
@@ -69,15 +69,17 @@ def _act(name: str) -> Callable:
 
 class WrappedActivation(nn.Module):
     """The reference's WarpedNonlinearity as a config-driven wrapper: when
-    ``filtered``, 4D tensors go through the 2x-oversampled FFT sandwich
-    (af_blocks.py:12-28); lower-rank tensors (e.g. time embeddings) always
-    get the plain activation."""
+    ``filtered``, 4D tensors go through the 2x-oversampled sandwich
+    (af_blocks.py:12-28) — the fused Pallas kernel where a mode supports
+    the shape, else the XLA matmul path (use
+    ops.pallas_kernels.set_filtered_act_impl to force either); lower-rank
+    tensors (e.g. time embeddings) always get the plain activation."""
     act_fn: str = "silu"
     filtered: bool = False
 
     def __call__(self, x):
         if self.filtered and x.ndim >= 4:
-            return filtered_nonlinearity(x, self.act_fn)
+            return filtered_act_fused(x, self.act_fn)
         return _act(self.act_fn)(x)
 
 

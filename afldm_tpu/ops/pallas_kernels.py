@@ -70,23 +70,58 @@ def _interpret():
 def _choose_cblock(H, W, C):
     """Mosaic block rule: the channel (lane) block must be a multiple of
     128 or all of C. Returns None when no legal block fits the VMEM budget
-    (input + both 2x intermediates + output, f32) — callers fall back to
-    the XLA matmul path then."""
+    (input + both 2x intermediates + output, f32) — callers use the
+    spatial-grid kernel or the XLA matmul path then."""
     budget = 10 * 1024 * 1024
     per_c = (2 * H * W + 3 * (2 * H) * (2 * W)) * 4
-    legal = [C] if C % 128 else [128, C]
+    if C % 128 == 0:
+        legal = [128, C]
+    elif _interpret():
+        legal = [C]  # the CPU interpreter has no lane-tiling constraints
+    else:
+        # Mosaic lowers the in-kernel dot_general by folding W into the
+        # lane dim — a shape cast that requires the channel block to be
+        # 128-aligned ("infer-vector-layout: unsupported shape cast" for
+        # e.g. (16,16,192)); non-aligned C falls back to spatial/XLA.
+        return None
     for cb in sorted(set(legal)):
         if cb * per_c <= budget:
             return cb
     return None
 
 
-def pallas_supported(shape) -> bool:
-    """True when the fused kernel can run this shape on TPU."""
-    _, H, W, C = shape
+# Measured crossovers (BENCH_NOTES.md, v5e, chained-iteration timing AND
+# full-model A/B): the per-channel spatial kernel wins from ~128 px
+# (1.1-1.5x per-op; 1.40x end-to-end on the 256px AF-VAE, 14.2 -> 20.0
+# img/s) up to the per-channel VMEM wall at 512 px. The channel-lane
+# kernel only ever ties XLA per-op at batched latent sizes and LOSES ~4%
+# inside the full UNet (pallas_call is a fusion barrier; XLA fuses the
+# sandwich with its neighbors), so auto-dispatch never picks it — it
+# remains available via set_filtered_act_impl('pallas') / explicit mode.
+_CHANNEL_MIN_BATCH = 2
+_SPATIAL_MIN = 96
+_SPATIAL_MAX = 512
+
+
+def pallas_mode(shape):
+    """Which fused kernel handles this shape: 'channel' (C in lanes, whole
+    image resident), 'spatial' (per-channel, W in lanes), or None (fall
+    back to the XLA matmul path). Thresholds are measured, not guessed —
+    scripts/bench_filtered_act.py regenerates the table."""
+    N, H, W, C = shape
     if H % 4 or W % 4:
-        return False
-    return _choose_cblock(H, W, C) is not None
+        return None
+    if N >= _CHANNEL_MIN_BATCH and _choose_cblock(H, W, C) is not None:
+        return "channel"
+    if (_SPATIAL_MIN <= H <= _SPATIAL_MAX and _SPATIAL_MIN <= W <= _SPATIAL_MAX
+            and W % 8 == 0):
+        return "spatial"
+    return None
+
+
+def pallas_supported(shape) -> bool:
+    """True when a fused kernel can run this shape on TPU."""
+    return pallas_mode(shape) is not None
 
 
 def _ops_for(H, W):
@@ -102,7 +137,10 @@ def _forward(x, act):
     cb = _choose_cblock(H, W, C)
 
     def kernel(x_ref, uh_ref, uw_ref, dh_ref, dw_ref, o_ref):
-        hi = _up_chain(x_ref[...], uh_ref[...], uw_ref[...])
+        # f32 in-kernel: Mosaic matmuls need matching operand dtypes and
+        # the circulant ops must run exact regardless of the model dtype
+        hi = _up_chain(x_ref[...].astype(jnp.float32), uh_ref[...],
+                       uw_ref[...])
         o_ref[...] = _down_chain(fn(hi), dh_ref[...], dw_ref[...]
                                  ).astype(o_ref.dtype)
 
@@ -122,18 +160,122 @@ def _forward(x, act):
     )(x, uh, uw, dh, dw)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
-def filtered_act_pallas(x, act="silu"):
-    """Fused WarpedNonlinearity. x: NHWC (H, W multiples of 4, C a multiple
-    of a supported block). Equals ops.ideal_lpf.filtered_nonlinearity."""
+# ---------------------------------------------------------------------------
+# Spatial kernel: one (H, W) channel plane per program, W in the lane
+# dimension. The whole 2x-resolution intermediate for that channel lives in
+# VMEM (~(2H*2W + 2H*W)*4 bytes, e.g. 1.5 MB at 256 px), so VAE-scale maps
+# run fused past the channel-lane kernel's budget. Grid (N, C) gives
+# hundreds of programs; the four operator matrices have constant index maps
+# and stay resident across programs.
+# ---------------------------------------------------------------------------
+
+def _spatial_ops(H, W):
+    return (jnp.asarray(_upsample_op(H, 2)),          # (2H, H)
+            jnp.asarray(_upsample_op(W, 2).T),        # (W, 2W)
+            jnp.asarray(_downsample_op(2 * H, 2)),    # (H, 2H)
+            jnp.asarray(_downsample_op(2 * W, 2).T))  # (2W, W)
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _forward_spatial(x, act):
+    # NCHW inside the kernel: Mosaic requires the block's trailing two dims
+    # to be (8,128)-aligned or the full array dims, so the (H, W) plane must
+    # sit last. The two transposes are one extra base-resolution pass each —
+    # cheap next to the 4x intermediates this kernel keeps out of HBM.
+    N, H, W, C = x.shape
+    uh, uwT, dh, dwT = _spatial_ops(H, W)
+    fn, _ = _act_and_grad(act)
+    xt = jnp.transpose(x, (0, 3, 1, 2))
+
+    def kernel(x_ref, uh_ref, uwT_ref, dh_ref, dwT_ref, o_ref):
+        xc = x_ref[...].astype(jnp.float32)
+        hi = _mm(_mm(uh_ref[...], xc), uwT_ref[...])   # (2H, 2W)
+        lo = _mm(dh_ref[...], fn(hi))                  # (H, 2W)
+        o_ref[...] = _mm(lo, dwT_ref[...]).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, C, H, W), x.dtype),
+        grid=(N, C),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((None, None, H, W), lambda n, c: (n, c, 0, 0)),
+            pl.BlockSpec((2 * H, H), lambda n, c: (0, 0)),
+            pl.BlockSpec((W, 2 * W), lambda n, c: (0, 0)),
+            pl.BlockSpec((H, 2 * H), lambda n, c: (0, 0)),
+            pl.BlockSpec((2 * W, W), lambda n, c: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, None, H, W), lambda n, c: (n, c, 0, 0)),
+    )(xt, uh, uwT, dh, dwT)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def _bwd_spatial(act, x, g):
+    N, H, W, C = x.shape
+    uh, uwT, dh, dwT = _spatial_ops(H, W)
+    _, grad_fn = _act_and_grad(act)
+    xt = jnp.transpose(x, (0, 3, 1, 2))
+    gt = jnp.transpose(g, (0, 3, 1, 2))
+    # pre-transposed operators (kernel-side .T would be a data transpose)
+    uhT, uw, dhT, dw = uh.T, uwT.T, dh.T, dwT.T
+
+    def kernel(x_ref, g_ref, uh_ref, uwT_ref, uhT_ref, uw_ref, dhT_ref,
+               dw_ref, o_ref):
+        xc = x_ref[...].astype(jnp.float32)
+        gc = g_ref[...].astype(jnp.float32)
+        pre = _mm(_mm(uh_ref[...], xc), uwT_ref[...])          # (2H, 2W)
+        # pull g back through the linear down-projection: B_h^T g B_w
+        ds = _mm(_mm(dhT_ref[...], gc), dw_ref[...])           # (2H, 2W)
+        m = grad_fn(pre) * ds
+        # push through the linear up-projection: A_h^T m A_w
+        dx = _mm(_mm(uhT_ref[...], m), uw_ref[...])            # (H, W)
+        o_ref[...] = dx.astype(o_ref.dtype)
+
+    plane = lambda n, c: (n, c, 0, 0)  # noqa: E731
+    mat = lambda n, c: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, C, H, W), x.dtype),
+        grid=(N, C),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((None, None, H, W), plane),
+            pl.BlockSpec((None, None, H, W), plane),
+            pl.BlockSpec((2 * H, H), mat),
+            pl.BlockSpec((W, 2 * W), mat),
+            pl.BlockSpec((H, 2 * H), mat),
+            pl.BlockSpec((2 * W, W), mat),
+            pl.BlockSpec((2 * H, H), mat),
+            pl.BlockSpec((W, 2 * W), mat),
+        ],
+        out_specs=pl.BlockSpec((None, None, H, W), plane),
+    )(xt, gt, uh, uwT, uhT, uw, dhT, dw)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def filtered_act_pallas(x, act="silu", mode=None):
+    """Fused WarpedNonlinearity. x: NHWC (H, W multiples of 4; see
+    pallas_mode for the shape gate — mode overrides it for tests). Equals
+    ops.ideal_lpf.filtered_nonlinearity."""
+    mode = mode or pallas_mode(x.shape) or "channel"
+    if mode == "spatial":
+        return _forward_spatial(x, act)
     return _forward(x, act)
 
 
-def _fwd_rule(x, act):
-    return _forward(x, act), x
+def _fwd_rule(x, act, mode):
+    return filtered_act_pallas(x, act, mode), x
 
 
-def _bwd_rule(act, x, g):
+def _bwd_rule(act, mode, x, g):
+    mode = mode or pallas_mode(x.shape) or "channel"
+    if mode == "spatial":
+        return (_bwd_spatial(act, x, g),)
     N, H, W, C = x.shape
     uh, uw, dh, dw = _ops_for(H, W)
     _, grad_fn = _act_and_grad(act)
@@ -142,11 +284,12 @@ def _bwd_rule(act, x, g):
     def kernel(x_ref, g_ref, uht_ref, uwt_ref, dht_ref, dwt_ref, o_ref):
         # recompute the pre-activation at 2x (operators arrive transposed;
         # transpose back with dot dimension choices, not data movement)
-        xt = x_ref[...]
+        xt = x_ref[...].astype(jnp.float32)
         pre = _dg(uwt_ref[...], _dg(uht_ref[...], xt, 0, 0), 0, 1)
         # pull the cotangent up through the (linear) down-projection:
         # dz = D_h^T g D_w — dht/dwt ARE the transposed operators
-        g_up = _up_chain(g_ref[...], dht_ref[...], dwt_ref[...])
+        g_up = _up_chain(g_ref[...].astype(jnp.float32), dht_ref[...],
+                         dwt_ref[...])
         m = (grad_fn(pre) * g_up).astype(jnp.float32)
         # push back through the (linear) up-projection: dx = U_h^T m U_w
         dx = _down_chain(m, uht_ref[...], uwt_ref[...])
@@ -173,10 +316,31 @@ def _bwd_rule(act, x, g):
 filtered_act_pallas.defvjp(_fwd_rule, _bwd_rule)
 
 
+# Escape hatch for the model hot path (VERDICT r1 item 4a): "auto" runs the
+# fused Pallas kernel wherever a mode supports the shape, "xla" forces the
+# ideal_lpf matmul/spectral path, "pallas" asserts the kernel is used.
+_FUSED_IMPL = "auto"
+
+
+def set_filtered_act_impl(impl: str):
+    global _FUSED_IMPL
+    assert impl in ("auto", "xla", "pallas"), impl
+    _FUSED_IMPL = impl
+
+
 def filtered_act_fused(x, act="silu"):
-    """Dispatcher: the fused Pallas kernel where it fits (UNet latent
-    resolutions), else the XLA matmul path (VAE-scale maps)."""
+    """Dispatcher: the fused Pallas kernel where a mode wins on TPU
+    ('channel' at batched latent sizes, 'spatial' at VAE sizes), else the
+    XLA matmul path. On CPU backends 'auto' always uses XLA (the Pallas
+    interpreter is orders of magnitude slower and only exists for
+    correctness tests); impl='pallas' forces the kernel anywhere."""
     from .ideal_lpf import filtered_nonlinearity
-    if x.ndim >= 4 and pallas_supported(x.shape):
-        return filtered_act_pallas(x, act)
+    if _FUSED_IMPL != "xla" and x.ndim >= 4:
+        mode = pallas_mode(x.shape)
+        wanted = (mode == "spatial" if _FUSED_IMPL == "auto"
+                  else mode is not None)
+        if wanted and (_FUSED_IMPL == "pallas" or not _interpret()):
+            return filtered_act_pallas(x, act, mode)
+    if _FUSED_IMPL == "pallas":
+        raise ValueError(f"pallas kernel unsupported for shape {x.shape}")
     return filtered_nonlinearity(x, act)

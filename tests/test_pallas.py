@@ -33,6 +33,54 @@ def test_custom_vjp_matches_autodiff(rng):
                                rtol=1e-4)
 
 
+def test_spatial_mode_forward(rng):
+    """VAE-scale maps route to the per-channel spatial kernel (on TPU the
+    shape gate picks it; here the kernel is exercised directly)."""
+    from afldm_tpu.ops.pallas_kernels import pallas_mode
+    assert pallas_mode((1, 128, 128, 256)) == "spatial"
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 8)), jnp.float32)
+    got = jax.jit(lambda z: filtered_act_pallas(z, "silu", "spatial"))(x)
+    want = filtered_nonlinearity(x, "silu", impl="matmul")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5,
+                               rtol=1e-4)
+
+
+def test_spatial_mode_vjp(rng):
+    x = jnp.asarray(rng.standard_normal((1, 64, 72, 4)), jnp.float32)
+    g1 = jax.jit(jax.grad(
+        lambda z: (filtered_act_pallas(z, "silu", "spatial") ** 2).sum()))(x)
+    g2 = jax.jit(jax.grad(
+        lambda z: (filtered_nonlinearity(z, "silu", impl="matmul") ** 2
+                   ).sum()))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-5,
+                               rtol=1e-4)
+
+
+def test_fused_dispatcher_impl_override(rng):
+    from afldm_tpu.ops.pallas_kernels import (filtered_act_fused,
+                                              set_filtered_act_impl)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)), jnp.float32)
+    want = filtered_nonlinearity(x, "silu", impl="matmul")
+    try:
+        for impl in ("auto", "xla", "pallas"):
+            set_filtered_act_impl(impl)
+            got = filtered_act_fused(x, "silu")
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=3e-5, rtol=1e-4)
+        set_filtered_act_impl("pallas")
+        with pytest.raises(ValueError):
+            filtered_act_fused(jnp.zeros((1, 10, 10, 4)), "silu")
+    finally:
+        set_filtered_act_impl("auto")
+
+
+def test_batch1_latent_dispatches_xla():
+    """Measured policy: batch-1 latent maps stay on the XLA matmul path."""
+    from afldm_tpu.ops.pallas_kernels import pallas_mode
+    assert pallas_mode((1, 32, 32, 768)) is None
+    assert pallas_mode((8, 32, 32, 768)) == "channel"
+
+
 def test_bf16_path(rng):
     x = jnp.asarray(rng.standard_normal((1, 16, 16, 16)), jnp.bfloat16)
     out = jax.jit(lambda z: filtered_act_pallas(z, "silu"))(x)

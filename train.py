@@ -7,7 +7,6 @@ rotation convention (train.py:353-382) via Orbax."""
 import argparse
 import json
 import logging
-import math
 import os
 import time
 
