@@ -74,6 +74,10 @@ class VAETrainingConfig(_OptimConfig):
     use_shift_loss: bool = False
     disc_weight: float = 1.0
     perceptual_weight: float = 1.0
+    # local torchvision-VGG16/lpips checkpoint for the real LPIPS filters
+    # (ref vae_trainer.py:107 lpips(net='vgg')); empty -> random-feature
+    # proxy (zero-egress default)
+    lpips_vgg_path: str = ""
     kl_weight: float = 1e-6
     gradient_accumulation_steps: int = 2
 

@@ -43,6 +43,11 @@ class VAETrainer(Trainer):
         self.img_shifter = ImageShifter("ideal_crop", 1)
         self.latent_shifter = ImageShifter("ideal_crop", d)
         self.d_factor = d
+        if getattr(cfg, "lpips_vgg_path", ""):
+            # swap the random-feature proxy for the real LPIPS VGG filters
+            # (ref vae_trainer.py:107 lpips.LPIPS(net='vgg'))
+            from .perceptual import load_lpips_vgg_features
+            load_lpips_vgg_features(cfg.lpips_vgg_path)
 
     def init_optimizers(self, total_steps=None):
         self.tx = make_optimizer(self.cfg, total_steps,

@@ -27,6 +27,9 @@ def parse_args():
                    default="results/interpolation.gif")
     p.add_argument("--flow_npz", type=str, default=None,
                    help=".npz with fwd_flow/fwd_occ/bwd_flow/bwd_occ")
+    p.add_argument("--gmflow_ckpt", type=str, default=None,
+                   help="local gmflow_sintel-*.pth checkpoint; uses the "
+                        "GMFlow port instead of the built-in LK flow")
     p.add_argument("--no_slerp", action="store_true")
     p.add_argument("--tiny", action="store_true")
     return p.parse_args()
@@ -87,6 +90,21 @@ def main():
         z = np.load(args.flow_npz)
         flows = tuple(jnp.asarray(z[k]) for k in
                       ("fwd_flow", "fwd_occ", "bwd_flow", "bwd_occ"))
+    elif args.gmflow_ckpt:
+        # the reference's flow source (image_interpolation_pipeline.py:178)
+        from afldm_tpu.models.gmflow import (GMFlow, GMFlowConfig,
+                                             load_gmflow_checkpoint,
+                                             make_gmflow_flow_fn)
+        gcfg = GMFlowConfig()
+        gm = GMFlow(gcfg)
+        gparams = jax.jit(gm.init)(jax.random.PRNGKey(3),
+                                   jnp.zeros((1, res, res, 3)),
+                                   jnp.zeros((1, res, res, 3)))
+        gparams, report = load_gmflow_checkpoint(args.gmflow_ckpt, gparams)
+        if report["unfilled_flax_leaves"]:
+            print("WARNING: gmflow leaves not filled:",
+                  report["unfilled_flax_leaves"][:5])
+        flows = make_gmflow_flow_fn(gparams, gcfg)(img0, img1)
     else:
         flows = predict_flow(img0, img1)
 

@@ -34,6 +34,9 @@ def parse_args():
                    help="trained pipeline directory (trainer save_pipeline)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random model for smoke runs")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute (FFT/circulant islands stay f32 — "
+                        "ops/ideal_lpf casts internally)")
     return p.parse_args()
 
 
@@ -45,9 +48,12 @@ def main():
                                              init_random_pipeline)
     from afldm_tpu.utils.io import image_to_tensor, save_gif_from_tensors
 
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if args.pipeline_dir:
-        pipe = load_pipeline(args.pipeline_dir)
+        pipe = load_pipeline(args.pipeline_dir, dtype=dtype)
     else:
         with open(os.path.join(root, "configs/ldm/model_unet.json")) as f:
             ucfg = json.load(f)
@@ -65,7 +71,7 @@ def main():
             vcfg.update(block_out_channels=[16, 16, 16, 16],
                         layers_per_block=1, norm_num_groups=8,
                         down_filtered_act=[False, True, True, True])
-        pipe = init_random_pipeline(ucfg, vcfg, scfg)
+        pipe = init_random_pipeline(ucfg, vcfg, scfg, dtype=dtype)
 
     input_image = None
     if args.input_path:

@@ -64,6 +64,27 @@ def test_load_lpips_vgg_features(tmp_path, rng):
         perceptual._DEFAULT_FILTERS = None
 
 
+def test_vae_trainer_config_wiring(tmp_path):
+    """lpips_vgg_path in the VAE training config swaps the proxy."""
+    ckpt = tmp_path / "vgg16.pth"
+    _fake_vgg_checkpoint(str(ckpt))
+    from afldm_tpu.train import (BaseTrainingConfig, VAETrainingConfig,
+                                 create_trainer)
+    from afldm_tpu.models import AutoencoderKLConfig
+    base = BaseTrainingConfig(logging_dir="logs", output_dir=str(tmp_path),
+                              resolution=16, train_batch_size=2,
+                              num_epochs=1)
+    cfg = VAETrainingConfig(model_cfg="", lpips_vgg_path=str(ckpt))
+    tr = create_trainer("vae", base, cfg)
+    try:
+        tr.init_modules(vae_config=AutoencoderKLConfig(
+            block_out_channels=(8, 8), layers_per_block=1,
+            norm_num_groups=4, sample_size=16))
+        assert perceptual._is_vgg(perceptual._filters())
+    finally:
+        perceptual._DEFAULT_FILTERS = None
+
+
 def test_load_rejects_non_vgg(tmp_path):
     torch.save({"foo.weight": torch.zeros((2, 2))}, tmp_path / "x.pth")
     with pytest.raises(ValueError, match="not a VGG16"):
