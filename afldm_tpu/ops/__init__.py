@@ -9,7 +9,8 @@ from .ideal_lpf import (
     subpixel_shift,
     filtered_nonlinearity,
 )
-from .bias_act import bias_act, activation_funcs, fma
+from .bias_act import (bias_act, activation_funcs, fma,
+                       filtered_lrelu)
 from .upfirdn2d import (
     conv2d_resample,
     upfirdn2d,
@@ -31,6 +32,7 @@ __all__ = [
     "filtered_nonlinearity",
     "bias_act",
     "fma",
+    "filtered_lrelu",
     "conv2d_resample",
     "activation_funcs",
     "upfirdn2d",

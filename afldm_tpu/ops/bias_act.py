@@ -68,3 +68,23 @@ def fma(a, b, c):
     torch_utils/ops/fma.py:15; XLA fuses this on its own — the symbol
     exists as a seam)."""
     return a * b + c
+
+
+def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
+                   gain=_SQRT2, slope=0.2, clamp=None, flip_filter=False):
+    """The StyleGAN-3 FIR-path mega-kernel as the documented composition
+    (ref torch_utils/ops/filtered_lrelu.py:121-157 _filtered_lrelu_ref):
+    bias -> zero-stuff upsample + FIR (gain up^2) -> leaky-ReLU(gain, clamp)
+    -> FIR + decimate. NHWC. Not called by any live AFLDM path (the models
+    use the FFT WarpedNonlinearity instead) but provided for toolkit parity;
+    under jit XLA fuses the elementwise stages into the convs."""
+    from .upfirdn2d import upfirdn2d, _parse_padding
+
+    px0, px1, py0, py1 = _parse_padding(padding)
+    if b is not None:
+        x = bias_act(x, b)
+    x = upfirdn2d(x, fu, up=up, padding=(px0, px1, py0, py1),
+                  gain=up ** 2, flip_filter=flip_filter)
+    x = bias_act(x, act="lrelu", alpha=slope, gain=gain, clamp=clamp)
+    x = upfirdn2d(x, fd, down=down, flip_filter=flip_filter)
+    return x

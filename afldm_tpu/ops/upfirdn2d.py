@@ -187,22 +187,40 @@ def downsample2d(x, f, down=2, padding=0, flip_filter=False, gain=1):
 
 def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
                     flip_weight=True, flip_filter=False):
-    """2D conv with optional FIR up/downsampling (semantic equivalent of
-    the reference's conv2d_resample, torch_utils/ops/conv2d_resample.py:46:
-    upsample -> conv -> downsample with the shared FIR filter ``f``).
+    """2D conv with optional FIR up/downsampling — the reference's
+    semantics exactly (torch_utils/ops/conv2d_resample.py:46-140: padding
+    applied ONCE relative to the upsampled image, with the documented
+    filter-size adjustments; this is its generic fallback formula, which
+    its fast paths equal). XLA fuses/optimizes, so no fast-path zoo here.
 
     x: NHWC; w: (kh, kw, in/groups, out) HWIO. ``flip_weight=True`` means
     correlation (the torch conv2d convention the reference defaults to)."""
     assert x.ndim == 4 and w.ndim == 4
+    fw, fh = _get_filter_size(f)
+    px0, px1, py0, py1 = _parse_padding(padding)
+
+    # padding adjustments (conv2d_resample.py:81-91)
     if up > 1:
-        x = upsample2d(x, f, up=up, flip_filter=flip_filter)
+        px0 += (fw + up - 1) // 2
+        px1 += (fw - up) // 2
+        py0 += (fh + up - 1) // 2
+        py1 += (fh - up) // 2
+    if down > 1:
+        px0 += (fw - down + 1) // 2
+        px1 += (fw - down) // 2
+        py0 += (fh - down + 1) // 2
+        py1 += (fh - down) // 2
+
+    x = upfirdn2d(x, f if up > 1 else None, up=up,
+                  padding=(px0, px1, py0, py1), gain=up ** 2,
+                  flip_filter=flip_filter)
     kern = w if flip_weight else w[::-1, ::-1]
     x = lax.conv_general_dilated(
         x.astype(jnp.float32), kern.astype(jnp.float32),
         window_strides=(1, 1),
-        padding=((padding, padding), (padding, padding)),
+        padding=((0, 0), (0, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups)
     if down > 1:
-        x = downsample2d(x, f, down=down, flip_filter=flip_filter)
+        x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
     return x

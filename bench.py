@@ -63,13 +63,18 @@ def build(alias_free=True, dtype=None):
 
 
 def measure(device_kind, n_steps=10, repeats=3, batch=1, dtype=None,
-            return_details=False):
+            cast_params=False, return_details=False):
     import jax
     import jax.numpy as jnp
     unet, denoise10 = build(dtype=dtype)
     key = jax.random.PRNGKey(0)
     x = jnp.zeros((1, 32, 32, 4), jnp.float32)
     params = jax.jit(unet.init)(key, x, jnp.asarray([0]))
+    if cast_params and dtype is not None:
+        # store weights in the compute dtype too: at batch 1 the denoise is
+        # bound by weight reads (274M params), so halving them matters more
+        # than the MXU dtype
+        params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
     lat = jax.random.normal(jax.random.PRNGKey(1), (batch, 32, 32, 4),
                             jnp.float32)
     _, s = denoise10(params, lat)
@@ -175,7 +180,7 @@ def main():
         for batch in (1, 8):
             for dt, name in ((None, "f32"), (jnp.bfloat16, "bf16")):
                 d = measure("tpu", batch=batch, dtype=dt,
-                            return_details=True)
+                            cast_params=True, return_details=True)
                 extras[f"unet_denoise_b{batch}_{name}"] = d
                 print(f"unet b{batch} {name}: {d}", file=sys.stderr)
         extras["vae_enc_dec_b4_f32_img_per_s"] = round(measure_vae(), 3)

@@ -125,6 +125,11 @@ def import_reference():
     _install_diffusers()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+    # the vendored StyleGAN-3 ops import the vendored `dnnlib` as a
+    # top-level module (bias_act.py:14, custom_ops.py)
+    af_libs = os.path.join(REFERENCE_ROOT, "afldm", "af_libs")
+    if af_libs not in sys.path:
+        sys.path.append(af_libs)
     from afldm.af_libs import ideal_lpf, equivariance
     from afldm.af_libs.torch_utils.ops import upfirdn2d
     from afldm.shift_utils import metrics, shifters, flow_utils

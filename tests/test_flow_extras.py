@@ -66,17 +66,24 @@ def test_splat_nearest_conserves_mass(rng):
 
 
 def test_conv2d_resample_matches_composition(rng):
-    from afldm_tpu.ops import upsample2d, downsample2d
+    """Reference semantics (conv2d_resample.py:92-140): pad once relative
+    to the upsampled image with filter-size adjustments, then
+    up-FIR -> conv -> FIR-down."""
+    from afldm_tpu.ops import upfirdn2d as _upfirdn2d
     from jax import lax
     x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((3, 3, 3, 5)), jnp.float32)
     f = setup_filter([1, 3, 3, 1], separable=False)
-    got = conv2d_resample(x, w, f, up=2, down=2, padding=1)
-    up = upsample2d(x, f, up=2)
-    mid = lax.conv_general_dilated(up, w, (1, 1), ((1, 1), (1, 1)),
+    up = down = 2
+    fw = fh = 4
+    got = conv2d_resample(x, w, f, up=up, down=down, padding=1)
+    px0 = 1 + (fw + up - 1) // 2 + (fw - down + 1) // 2
+    px1 = 1 + (fw - up) // 2 + (fw - down) // 2
+    hi = _upfirdn2d(x, f, up=up, padding=(px0, px1, px0, px1), gain=up ** 2)
+    mid = lax.conv_general_dilated(hi, w, (1, 1), ((0, 0), (0, 0)),
                                    dimension_numbers=("NHWC", "HWIO",
                                                       "NHWC"))
-    want = downsample2d(mid, f, down=2)
+    want = _upfirdn2d(mid, f, down=down)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 

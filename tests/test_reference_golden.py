@@ -249,6 +249,70 @@ def test_upfirdn_wrappers_golden(rng):
         "downsample2d")
 
 
+def test_bias_act_golden(rng):
+    """All nine activations vs the reference bias_act ref path (CPU picks
+    impl='ref' automatically), incl. default gains, alpha, clamp."""
+    from afldm.af_libs.torch_utils.ops import bias_act as ref_ba
+    ba = importlib.import_module("afldm_tpu.ops.bias_act")
+
+    x = rand_nhwc(rng, 2, 6, 6, 5)
+    b = rng.standard_normal((5,)).astype(np.float32)
+    for act in ba.activation_funcs:
+        ref = to_nhwc(ref_ba.bias_act(to_torch(x), torch.from_numpy(b),
+                                      dim=1, act=act))
+        ours = ba.bias_act(x, jnp.asarray(b), act=act)
+        assert_close(ours, ref, 2e-6, f"bias_act[{act}]")
+    # explicit alpha/gain/clamp
+    ref = to_nhwc(ref_ba.bias_act(to_torch(x), torch.from_numpy(b), dim=1,
+                                  act="lrelu", alpha=0.1, gain=3.0,
+                                  clamp=0.5))
+    ours = ba.bias_act(x, jnp.asarray(b), act="lrelu", alpha=0.1, gain=3.0,
+                       clamp=0.5)
+    assert_close(ours, ref, 2e-6, "bias_act lrelu/gain/clamp")
+
+
+@pytest.mark.parametrize("up,down,padding,flip_weight", [
+    (1, 1, 1, True), (2, 1, 0, True), (1, 2, 1, False), (2, 2, 2, True)])
+def test_conv2d_resample_golden(rng, up, down, padding, flip_weight):
+    from afldm.af_libs.torch_utils.ops import conv2d_resample as ref_cr
+
+    x = rand_nhwc(rng, 1, 8, 8, 3)
+    w = rng.standard_normal((4, 3, 3, 3)).astype(np.float32)  # OIHW
+    f = REF.upfirdn2d.setup_filter([1, 3, 3, 1])
+    ref = to_nhwc(ref_cr.conv2d_resample(
+        to_torch(x), torch.from_numpy(w), f=f if (up > 1 or down > 1)
+        else None, up=up, down=down, padding=padding,
+        flip_weight=flip_weight))
+    wj = jnp.asarray(w.transpose(2, 3, 1, 0))  # OIHW -> HWIO
+    fj = jnp.asarray(f.numpy()) if (up > 1 or down > 1) else None
+    ours = uf.conv2d_resample(jnp.asarray(x), wj, f=fj, up=up, down=down,
+                               padding=padding, flip_weight=flip_weight)
+    assert_close(ours, ref, 2e-5,
+                 f"conv2d_resample up={up} down={down} pad={padding}")
+
+
+@pytest.mark.parametrize("up,down,padding", [(2, 2, 2), (2, 1, (1, 2, 3, 4)),
+                                             (1, 2, 1)])
+def test_filtered_lrelu_golden(rng, up, down, padding):
+    """The FIR-path mega-kernel composition vs the reference's
+    _filtered_lrelu_ref (filtered_lrelu.py:121-157)."""
+    from afldm.af_libs.torch_utils.ops import filtered_lrelu as ref_fl
+    from afldm_tpu.ops.bias_act import filtered_lrelu
+
+    x = rand_nhwc(rng, 1, 8, 10, 3)
+    b = rng.standard_normal((3,)).astype(np.float32)
+    fu = REF.upfirdn2d.setup_filter([1, 3, 3, 1])
+    fd = REF.upfirdn2d.setup_filter([1, 2, 2, 1])
+    ref = to_nhwc(ref_fl.filtered_lrelu(
+        to_torch(x), fu=fu, fd=fd, b=torch.from_numpy(b), up=up, down=down,
+        padding=padding, clamp=1.5, impl="ref"))
+    ours = filtered_lrelu(jnp.asarray(x), fu=jnp.asarray(fu.numpy()),
+                          fd=jnp.asarray(fd.numpy()), b=jnp.asarray(b),
+                          up=up, down=down, padding=padding, clamp=1.5)
+    assert_close(ours, ref, 2e-5,
+                 f"filtered_lrelu up={up} down={down} pad={padding}")
+
+
 def test_setup_filter_golden():
     for fin in ([1, 3, 3, 1], [[1, 2], [3, 4]], None):
         ref = REF.upfirdn2d.setup_filter(fin, gain=2).numpy()
