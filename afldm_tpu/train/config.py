@@ -29,6 +29,10 @@ class BaseTrainingConfig:
     gradient_accumulation_steps: int = 1
     mixed_precision: Optional[str] = None
     gradient_checkpointing: bool = False
+    # tensor-parallel size of the mesh 'model' axis (1 = pure DP; params,
+    # Adam state and EMA shard their output channels across it —
+    # parallel/sharding_rules.py)
+    model_parallel: int = 1
 
     is_imagenet: bool = False
     prompt_dropout: float = 0.0

@@ -75,7 +75,7 @@ class LDMTrainer(Trainer):
 
     def prepare_modules(self, key=jax.random.PRNGKey(0), vae_params=None):
         unet_params = self.init_params(key, vae_params)
-        self.state = self.replicate(self.init_train_state(
+        self.state = self.place_state(self.init_train_state(
             unet_params, self.tx, self.cfg.use_ema))
         self.vae_params = self.replicate(self.vae_params)
         self._step_fn = self._build_step()
@@ -167,10 +167,12 @@ class LDMTrainer(Trainer):
                                       step=state.step + 1)
             return new_state, logs
 
+        state_sh = self.state_shardings(self.state) \
+            if hasattr(self, "state") else self.replicated
         return jax.jit(step, donate_argnums=(0,),
-                       in_shardings=(self.replicated, self.replicated,
+                       in_shardings=(state_sh, self.replicated,
                                      self.data_sharding, self.replicated),
-                       out_shardings=(self.replicated, self.replicated))
+                       out_shardings=(state_sh, self.replicated))
 
     def training_step(self, global_step, batch) -> dict:
         key = jax.random.fold_in(jax.random.PRNGKey(

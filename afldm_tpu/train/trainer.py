@@ -68,13 +68,16 @@ class Trainer(abc.ABC):
     def __init__(self, base_cfg, cfg, mesh=None):
         self.base_cfg = base_cfg
         self.cfg = cfg
+        model = getattr(base_cfg, "model_parallel", 1) or 1
         if mesh is None:
             # the data axis must divide the global batch
             import math
             n = len(jax.devices())
-            data = math.gcd(base_cfg.train_batch_size, n)
-            mesh = create_mesh(data=data)
+            assert n % model == 0, (n, model)
+            data = math.gcd(base_cfg.train_batch_size, n // model)
+            mesh = create_mesh(data=data, model=model)
         self.mesh = mesh
+        self.model_parallel = self.mesh.shape.get("model", 1)
         self.data_sharding = data_sharding(self.mesh)
         self.replicated = replicated_sharding(self.mesh)
         self.weight_dtype = (jnp.bfloat16
@@ -123,6 +126,16 @@ class Trainer(abc.ABC):
     # helpers
     def replicate(self, tree):
         return jax.device_put(tree, self.replicated)
+
+    def state_shardings(self, tree):
+        """TP-aware placement tree: parameter-shaped leaves shard their
+        output channels over the 'model' axis (parallel/sharding_rules);
+        with model_parallel == 1 this is plain replication."""
+        from ..parallel.sharding_rules import tree_shardings
+        return tree_shardings(tree, self.mesh)
+
+    def place_state(self, tree):
+        return jax.device_put(tree, self.state_shardings(tree))
 
     def shard(self, batch):
         return jax.device_put(batch, self.data_sharding)

@@ -71,3 +71,56 @@ def test_fft_ops_shard_over_batch(rng):
     with mesh:
         got = jax.jit(lambda z: filtered_nonlinearity(z, "silu"))(xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_tensor_parallel_matches_data_parallel(tmp_path):
+    """model_parallel=4 on a (2,4) mesh must reproduce the pure-DP losses
+    (GSPMD partitions the matmuls; results equal up to reduction order)."""
+    from afldm_tpu.train import (BaseTrainingConfig, LDMTrainingConfig,
+                                 SyntheticDataset, epoch_batches,
+                                 create_trainer)
+    from afldm_tpu.models import UNet2DConfig, AutoencoderKLConfig
+
+    vae_cfg = AutoencoderKLConfig(
+        block_out_channels=(8, 8), layers_per_block=1, latent_channels=4,
+        norm_num_groups=4, sample_size=16, scaling_factor=0.6)
+    unet_cfg = UNet2DConfig(
+        sample_size=8, in_channels=4, out_channels=4,
+        down_block_types=("DownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "UpBlock2D"),
+        block_out_channels=(16, 32), layers_per_block=1,
+        attention_head_dim=8, norm_num_groups=4, alias_free=True)
+    sched_cfg = dict(num_train_timesteps=100, beta_schedule="scaled_linear",
+                     beta_start=0.0015, beta_end=0.0195, clip_sample=False)
+    ds = SyntheticDataset(resolution=16, length=32)
+
+    def run(model_parallel):
+        base = BaseTrainingConfig(
+            logging_dir="logs", output_dir=str(tmp_path), resolution=16,
+            train_batch_size=4, num_epochs=1, seed=0,
+            model_parallel=model_parallel)
+        cfg = LDMTrainingConfig(vae_path="", scheduler_path="",
+                                use_shift_loss=False, use_cross_attn=False,
+                                use_ema=False, learning_rate=1e-3,
+                                lr_warmup_steps=0)
+        tr = create_trainer("ldm", base, cfg)
+        tr.init_modules(vae_config=vae_cfg, unet_config=unet_cfg,
+                        scheduler_config=sched_cfg)
+        tr.init_optimizers(10)
+        tr.prepare_modules()
+        if model_parallel > 1:
+            assert tr.mesh.shape["model"] == model_parallel
+            # at least one parameter actually sharded over 'model'
+            shardings = jax.tree_util.tree_leaves(
+                tr.state_shardings(tr.state.params))
+            assert any("model" in str(s.spec) for s in shardings)
+        losses = []
+        for i, batch in enumerate(epoch_batches(ds, 4, seed=1)):
+            losses.append(tr.training_step(i, batch)["train_loss"])
+            if i >= 2:
+                break
+        return losses
+
+    dp = run(1)
+    tp = run(4)
+    np.testing.assert_allclose(tp, dp, rtol=2e-4)
