@@ -78,7 +78,7 @@ class I2SBTrainer(Trainer):
             else jax.jit(self.vae.init)(k1, img))
         unet_params = jax.jit(self.unet.init)(
             k2, lat, jnp.zeros((1,), jnp.int32))
-        self.state = self.replicate(self.init_train_state(
+        self.state = self.place_state(self.init_train_state(
             unet_params, self.tx, self.cfg.use_ema))
         self._step_fn = self._build_step()
 

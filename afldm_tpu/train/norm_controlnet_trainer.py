@@ -88,7 +88,7 @@ class NormControlNetTrainer(Trainer):
                 k2, lat, jnp.zeros((1,), jnp.int32), ehs)
         cn_params = jax.jit(self.controlnet.init)(
             k3, lat, jnp.zeros((1,), jnp.int32), ehs, lat)
-        self.state = self.replicate(self.init_train_state(
+        self.state = self.place_state(self.init_train_state(
             unet_params, self.tx, False))
         self.cn_state = self.replicate(TrainState(
             params=cn_params, opt_state=self.cn_tx.init(cn_params),

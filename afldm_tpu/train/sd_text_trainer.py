@@ -71,7 +71,7 @@ class SDTextTrainer(Trainer):
             unet_params = jax.jit(self.unet.init)(
                 k2, jnp.zeros((1, lat_res, lat_res, 4), jnp.float32),
                 jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, dim)))
-        self.state = self.replicate(self.init_train_state(
+        self.state = self.place_state(self.init_train_state(
             unet_params, self.tx, self.cfg.use_ema))
         self._step_fn = self._build_step()
 

@@ -61,7 +61,7 @@ class VAETrainer(Trainer):
                         jnp.float32)
         k1, k2 = jax.random.split(key)
         params = jax.jit(self.model.init)(k1, img)
-        self.state = self.replicate(self.init_train_state(
+        self.state = self.place_state(self.init_train_state(
             params, self.tx, self.cfg.use_ema))
         if self.cfg.use_disc:
             dparams = jax.jit(self.discriminator.init)(k2, img)
