@@ -419,6 +419,68 @@ def test_intermediate_warp_mask_golden(rng):
                  "warp mask bwd flow (visible)")
 
 
+def test_forward_backward_consistency_golden(rng):
+    fwd = _rand_flow(rng, 1, 10, 12, scale=1.5)
+    bwd = -fwd + _rand_flow(rng, 1, 10, 12, scale=0.3)
+    to_t2 = lambda f: torch.from_numpy(  # noqa: E731
+        f.transpose(0, 3, 1, 2).copy())
+    ref_fo, ref_bo = REF.flow_utils.forward_backward_consistency_check(
+        to_t2(fwd), to_t2(bwd))
+    our_fo, our_bo = flow.forward_backward_consistency_check(fwd, bwd)
+    assert_close(np.asarray(our_fo)[..., 0], ref_fo[:, 0].numpy() if
+                 ref_fo.ndim == 4 else ref_fo.numpy(), 0, "fwd occ")
+    assert_close(np.asarray(our_bo)[..., 0], ref_bo[:, 0].numpy() if
+                 ref_bo.ndim == 4 else ref_bo.numpy(), 0, "bwd occ")
+
+
+def test_flow_reverse_map_golden(rng):
+    """The reference's flow_revserse_map (uncalled anywhere upstream)
+    applies the flow with swapped axes relative to every other flow util:
+    after its flip(1), channel 0 (=dj) is added to the ROW index
+    (flow_utils.py:117-125). afldm_tpu keeps the consistent (di, dj)
+    convention, so parity holds against the reference fed the swapped
+    layout."""
+    x = rand_nhwc(rng, 1, 8, 10, 3)
+    fl = np.round(_rand_flow(rng, 1, 8, 10, scale=2.0))
+    fl_swapped = torch.from_numpy(
+        fl[..., ::-1].transpose(0, 3, 1, 2).copy())
+    ref = to_nhwc(REF.flow_utils.flow_revserse_map(to_torch(x), fl_swapped))
+    ours = flow.flow_reverse_map(x, fl)
+    assert_close(ours, ref, 1e-6, "flow_reverse_map")
+
+
+def test_get_patch_moving_flow_golden():
+    ref_f, ref_o = REF.flow_utils.get_patch_moving_flow(
+        torch.zeros(1, 3, 16, 16), (2, 6, 3, 9), (2.0, -1.0), alpha=0.7)
+    our_f, our_o = flow.get_patch_moving_flow(
+        np.zeros((1, 16, 16, 3), np.float32), (2, 6, 3, 9), (2.0, -1.0),
+        alpha=0.7)
+    assert_close(our_f, to_nhwc(ref_f), 1e-6, "patch flow")
+    assert_close(our_o, to_nhwc(ref_o), 0, "patch occ")
+
+
+def test_forward_upsample_flow_warp_golden(rng):
+    x = rand_nhwc(rng, 1, 8, 8, 2)
+    fl = _rand_flow(rng, 1, 16, 16, scale=3.0)
+    fl_t = torch.from_numpy(fl.transpose(0, 3, 1, 2).copy())
+    ref_y, ref_o = REF.flow_utils.forward_upsample_flow_warp(
+        to_torch(x), fl_t, scale=2)
+    our_y, our_o = flow.forward_upsample_flow_warp(x, fl, scale=2)
+    assert_close(our_y, to_nhwc(ref_y), 1e-5, "fwd upsample warp")
+    assert_close(our_o, to_nhwc(ref_o), 0, "fwd upsample warp occ")
+
+
+def test_input_padder_golden(rng):
+    x = rand_nhwc(rng, 1, 10, 13, 3)
+    ref_p = REF.flow_utils.InputPadder((1, 3, 10, 13), padding_factor=8)
+    ref_out = ref_p.pad(to_torch(x))[0]
+    our_p = flow.InputPadder((1, 10, 13, 3), padding_factor=8)
+    our_out = our_p.pad(x)[0]
+    assert_close(our_out, to_nhwc(ref_out), 0, "InputPadder.pad")
+    assert_close(our_p.unpad(our_out), to_nhwc(ref_p.unpad(ref_out)), 0,
+                 "InputPadder.unpad")
+
+
 # ---------------------------------------------------------------------------
 # I2SB scheduler: tables, timestep spacing, bridge ops, full ODE trajectory
 # (schedulers/i2sb_scheduler.py:142-531)
