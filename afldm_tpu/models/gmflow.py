@@ -302,10 +302,17 @@ class SelfAttnPropagation(nn.Module):
         return out.reshape(N, H, W, 2)
 
 
+# official normalize_img constants (ImageNet, applied to img/255)
+_IMG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMG_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
 class GMFlow(nn.Module):
     """Returns full-resolution bidirectional (or forward-only) flow in
-    NHWC (di, dj). Input images: (N, H, W, 3) in [0, 255] (the official
-    model's convention; use gmflow_flow_fn for [-1, 1] pipeline images)."""
+    NHWC (di, dj). Input images: (N, H, W, 3) in [0, 255]; normalized
+    internally with the official normalize_img (ImageNet mean/std on
+    img/255) before the backbone. Use make_gmflow_flow_fn for [-1, 1]
+    pipeline images."""
     config: GMFlowConfig = GMFlowConfig()
 
     @nn.compact
@@ -316,7 +323,9 @@ class GMFlow(nn.Module):
 
         backbone = CNNEncoder(c, name="backbone")
         # batch the two images through the backbone together
-        feats = backbone(jnp.concatenate([img0, img1], axis=0))
+        imgs = jnp.concatenate([img0, img1], axis=0)
+        imgs = (imgs / 255.0 - jnp.asarray(_IMG_MEAN)) / jnp.asarray(_IMG_STD)
+        feats = backbone(imgs)
         f0, f1 = jnp.split(feats, 2, axis=0)
         N, H, W, _ = f0.shape
 
@@ -357,10 +366,13 @@ class GMFlow(nn.Module):
 
 def convex_upsample(flow, mask, up):
     """RAFT convex combination upsampling; flow (N,H,W,2), mask
-    (N,H,W,9*up*up)."""
+    (N,H,W,9*up*up) in the OFFICIAL channel layout: tap-major, i.e.
+    channel = tap*up*up + ki*up + kj (gmflow upsample_flow does
+    mask.view(b,1,9,K,K,h,w) and softmaxes over the 9 taps), so the
+    published checkpoint's upsampler.2 output channels map 1:1."""
     N, H, W, _ = flow.shape
-    mask = mask.reshape(N, H, W, up * up, 9)
-    mask = jax.nn.softmax(mask, axis=-1)
+    mask = mask.reshape(N, H, W, 9, up * up)
+    mask = jax.nn.softmax(mask, axis=3)
 
     # 3x3 neighborhoods of the coarse flow (zero-padded)
     pads = jnp.pad(flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -370,7 +382,7 @@ def convex_upsample(flow, mask, up):
             taps.append(pads[:, di:di + H, dj:dj + W, :])
     taps = jnp.stack(taps, axis=3)  # (N, H, W, 9, 2)
 
-    out = jnp.einsum("nhwpk,nhwkd->nhwpd", mask, taps)  # (N,H,W,up*up,2)
+    out = jnp.einsum("nhwkp,nhwkd->nhwpd", mask, taps)  # (N,H,W,up*up,2)
     out = out.reshape(N, H, W, up, up, 2)
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(N, H * up, W * up, 2)
     return out

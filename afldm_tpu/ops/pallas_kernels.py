@@ -317,8 +317,11 @@ filtered_act_pallas.defvjp(_fwd_rule, _bwd_rule)
 
 
 # Escape hatch for the model hot path (VERDICT r1 item 4a): "auto" runs the
-# fused Pallas kernel wherever a mode supports the shape, "xla" forces the
-# ideal_lpf matmul/spectral path, "pallas" asserts the kernel is used.
+# spatial Pallas kernel where it measurably wins (96-512 px) and XLA
+# everywhere else — the channel kernel is NEVER auto-picked (it loses 3-4%
+# in-context, see the crossover comment above); "xla" forces the ideal_lpf
+# matmul/spectral path; "pallas" forces a kernel for any supported shape
+# (channel incl.) and raises on unsupported ones.
 _FUSED_IMPL = "auto"
 
 
@@ -329,11 +332,12 @@ def set_filtered_act_impl(impl: str):
 
 
 def filtered_act_fused(x, act="silu"):
-    """Dispatcher: the fused Pallas kernel where a mode wins on TPU
-    ('channel' at batched latent sizes, 'spatial' at VAE sizes), else the
-    XLA matmul path. On CPU backends 'auto' always uses XLA (the Pallas
-    interpreter is orders of magnitude slower and only exists for
-    correctness tests); impl='pallas' forces the kernel anywhere."""
+    """Dispatcher: auto = the spatial Pallas kernel at VAE sizes (where it
+    wins end-to-end), XLA everywhere else — incl. batched latent sizes,
+    where the channel kernel only ties per-op and loses in-context. On CPU
+    backends 'auto' always uses XLA (the Pallas interpreter is orders of
+    magnitude slower and only exists for correctness tests);
+    impl='pallas' forces a kernel for any supported shape."""
     from .ideal_lpf import filtered_nonlinearity
     if _FUSED_IMPL != "xla" and x.ndim >= 4:
         mode = pallas_mode(x.shape)

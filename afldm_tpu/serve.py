@@ -45,7 +45,7 @@ def _next_bucket(n, buckets):
 
 
 class _Request:
-    __slots__ = ("latents", "steps", "event", "result", "t0")
+    __slots__ = ("latents", "steps", "event", "result", "t0", "cancelled")
 
     def __init__(self, latents, steps):
         self.latents = latents
@@ -53,6 +53,7 @@ class _Request:
         self.event = threading.Event()
         self.result = None
         self.t0 = time.perf_counter()
+        self.cancelled = False
 
 
 class SamplerService:
@@ -75,6 +76,12 @@ class SamplerService:
     def sample(self, num_images: int = 1, num_inference_steps: int = 50,
                seed: int = 0, timeout: float = 600.0):
         """Generate images; blocks until the batched result is ready."""
+        if num_images > self.buckets[-1]:
+            # oversize requests would dispatch an unbucketed shape and pay
+            # a fresh multi-minute compile per distinct size
+            raise ValueError(
+                f"num_images={num_images} exceeds max_batch="
+                f"{self.buckets[-1]}; split the request")
         cfg = self.pipeline.unet.config
         key = jax.random.PRNGKey(seed)
         latents = jax.random.normal(
@@ -83,6 +90,7 @@ class SamplerService:
         req = _Request(np.asarray(latents), int(num_inference_steps))
         self._q.put(req)
         if not req.event.wait(timeout):
+            req.cancelled = True  # the worker will skip it
             raise TimeoutError("sampler request timed out")
         if isinstance(req.result, Exception):
             raise req.result
@@ -100,6 +108,8 @@ class SamplerService:
                 first = self._q.get(timeout=0.1)
             except queue.Empty:
                 continue
+            if first.cancelled:  # waiter already timed out
+                continue
             # drain the window; only merge requests with equal step counts
             # (different step counts are different compiled programs)
             batch = [first]
@@ -115,6 +125,8 @@ class SamplerService:
                         0.0, deadline - time.perf_counter()))
                 except queue.Empty:
                     break
+                if r.cancelled:
+                    continue
                 if (r.steps == first.steps
                         and r.latents.shape[0] <= room):
                     batch.append(r)
@@ -122,6 +134,9 @@ class SamplerService:
                     leftover.append(r)
             for r in leftover:
                 self._q.put(r)
+            batch = [r for r in batch if not r.cancelled]
+            if not batch:
+                continue
             try:
                 self._execute(batch)
             except Exception as e:  # propagate to all waiters

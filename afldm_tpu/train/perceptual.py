@@ -98,7 +98,7 @@ def load_lpips_vgg_features(path, set_default=True):
     return stages
 
 
-def _features(x, stages):
+def _features(x, stages, max_pool=False):
     feats = []
     h = x
     for convs in stages:
@@ -116,8 +116,13 @@ def _features(x, stages):
         # channel-normalize (LPIPS-style unit-norm features)
         h_n = h / (jnp.linalg.norm(h, axis=-1, keepdims=True) + 1e-8)
         feats.append(h_n)
-        h = lax.reduce_window(h, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
-                              "VALID") / 4.0
+        if max_pool:
+            # torchvision VGG16 (lpips net='vgg') pools with MaxPool2d
+            h = lax.reduce_window(h, -jnp.inf, lax.max, (1, 2, 2, 1),
+                                  (1, 2, 2, 1), "VALID")
+        else:
+            h = lax.reduce_window(h, 0.0, lax.add, (1, 2, 2, 1),
+                                  (1, 2, 2, 1), "VALID") / 4.0
     return feats
 
 
@@ -130,13 +135,14 @@ def perceptual_loss(a, b, filters=None):
     (per-batch mean, matching torch.sum(lpips)/bsz given lpips returns one
     value per sample)."""
     filters = filters or _filters()
-    if _is_vgg(filters):
+    is_vgg = _is_vgg(filters)
+    if is_vgg:
         shift = jnp.asarray(_LPIPS_SHIFT)
         scale = jnp.asarray(_LPIPS_SCALE)
         a = (a - shift) / scale
         b = (b - shift) / scale
-    fa = _features(a, filters)
-    fb = _features(b, filters)
+    fa = _features(a, filters, max_pool=is_vgg)
+    fb = _features(b, filters, max_pool=is_vgg)
     loss = 0.0
     for x, y in zip(fa, fb):
         loss = loss + jnp.mean((x - y) ** 2)

@@ -138,7 +138,11 @@ class Trainer(abc.ABC):
         return jax.device_put(tree, self.state_shardings(tree))
 
     def shard(self, batch):
-        return jax.device_put(batch, self.data_sharding)
+        """Batch placement; multi-host aware (each process passes its
+        per-host slice from epoch_batches(process_index=...) and the global
+        array is reassembled — collectives.shard_batch)."""
+        from ..parallel.collectives import shard_batch
+        return shard_batch(batch, self.mesh)
 
     def init_train_state(self, params, tx, use_ema):
         ema = ema_init(params).params if use_ema else None

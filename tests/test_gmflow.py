@@ -132,11 +132,10 @@ def test_convex_upsample_matches_torch(rng):
                                      jnp.asarray(mask), up))
 
     ft = torch.from_numpy(flow.transpose(0, 3, 1, 2).copy())
-    # torch mask layout: (N, 9*up*up, H, W) grouped (1, 9, up, up);
-    # ours is (N, H, W, up*up, 9) — permute accordingly
-    mt = torch.from_numpy(
-        mask.reshape(N, H, W, up * up, 9).transpose(0, 4, 3, 1, 2)
-        .reshape(N, 9 * up * up, H, W).copy())
+    # both sides use the OFFICIAL channel layout (tap-major, 9*up*up) —
+    # a straight NHWC->NCHW move, no permutation: this is what makes the
+    # published checkpoint's upsampler weights convert 1:1
+    mt = torch.from_numpy(mask.transpose(0, 3, 1, 2).copy())
     with torch.no_grad():
         m = mt.view(N, 1, 9, up, up, H, W)
         m = torch.softmax(m, dim=2)

@@ -78,7 +78,10 @@ def main():
             log.info("resuming from %s", path)
             state = restore_checkpoint(path, jax.device_get(
                 trainer.state_for_checkpoint()))
-            trainer.load_state(jax.device_put(state, trainer.replicated))
+            # place by the trainer's sharding rules (TP-aware; replicated
+            # at model_parallel=1) — a replicated device_put here would
+            # undo the 'model'-axis sharding and blow the memory budget
+            trainer.load_state(trainer.place_state(state))
             global_step = resume_step_from_path(path)
 
     metrics_path = os.path.join(base.output_dir, base.logging_dir,
@@ -113,6 +116,8 @@ def main():
              steps_per_epoch, base.num_epochs)
     t0 = time.time()
     done = False
+    prof = None
+    profile_start = global_step + 10  # steady state, resume-safe
     for epoch in range(base.num_epochs):
         if done:
             break
@@ -120,9 +125,9 @@ def main():
                                    seed=(base.seed or 0) + epoch,
                                    process_index=jax.process_index(),
                                    process_count=jax.process_count()):
-            # profile a window after warmup/compile (step 10) so the trace
-            # holds steady-state steps only (SURVEY.md §5.1)
-            if args.profile and global_step == 10:
+            # profile a window after warmup/compile so the trace holds
+            # steady-state steps only (SURVEY.md §5.1)
+            if args.profile and global_step == profile_start:
                 from afldm_tpu.utils.profiling import trace
                 prof_dir = os.path.join(base.output_dir, base.logging_dir,
                                         "profile")
@@ -131,8 +136,9 @@ def main():
                 log.info("profiling %d steps -> %s", args.profile, prof_dir)
             logs = trainer.training_step(global_step, batch)
             global_step += 1
-            if args.profile and global_step == 10 + args.profile:
+            if prof is not None and global_step == profile_start + args.profile:
                 prof.__exit__(None, None, None)
+                prof = None
                 log.info("profile written")
             if global_step % 10 == 0:
                 logs["step"] = global_step
@@ -172,6 +178,10 @@ def main():
         if ((epoch + 1) % base.save_model_epochs == 0 or done) and is_main:
             trainer.save_pipeline(os.path.join(base.output_dir, "pipeline"))
             log.info("saved pipeline (epoch %d)", epoch)
+
+    if prof is not None:  # training ended inside the profile window
+        prof.__exit__(None, None, None)
+        log.info("profile written (training ended inside the window)")
 
     if is_main:
         save_checkpoint(base.output_dir, global_step,
