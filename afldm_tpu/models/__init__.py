@@ -7,6 +7,7 @@ from .unet2d_condition import UNet2DConditionModel, UNet2DConditionConfig
 from .controlnet import ControlNetModel, ControlNetConfig
 from .attention_blocks import (CrossAttention, BasicTransformerBlock,
                                Transformer2DModel, FeedForward)
+from .vq import VQModel, VQModelConfig
 from .vae import (AutoencoderKL, AutoencoderKLConfig, Encoder, Decoder,
                   gaussian_sample, gaussian_kl)
 from .discriminator import Discriminator, hinge_d_loss, hinge_g_loss
@@ -21,6 +22,7 @@ __all__ = [
     "CrossAttention", "BasicTransformerBlock", "Transformer2DModel",
     "FeedForward",
     "AutoencoderKL", "AutoencoderKLConfig", "Encoder", "Decoder",
+    "VQModel", "VQModelConfig",
     "gaussian_sample", "gaussian_kl",
     "Discriminator", "hinge_d_loss", "hinge_g_loss",
 ]

@@ -57,12 +57,20 @@ def torch_to_flax(state_dict: Dict[str, np.ndarray], flax_params):
         leaf = parts[-1]
         parent = _canon("".join(parts[:-1]))
         node = nodes.get(parent)
+        if (node is None and leaf == "weight" and len(parts) >= 2
+                and parts[-2] == "embedding"):
+            # torch nn.Embedding ("...embedding.weight") maps to a flax
+            # leaf named "embedding" one level up (e.g. the VQ codebook)
+            node = nodes.get(_canon("".join(parts[:-2])))
+            leaf = "embedding"
         if node is None:
             unmatched.append(tkey)
             continue
         if leaf == "weight":
             target_leaf = ("kernel" if "kernel" in node
-                           else "scale" if "scale" in node else None)
+                           else "scale" if "scale" in node
+                           else "embedding" if "embedding" in node
+                           else None)
         elif leaf == "bias":
             target_leaf = "bias" if "bias" in node else None
         else:
@@ -74,7 +82,8 @@ def torch_to_flax(state_dict: Dict[str, np.ndarray], flax_params):
         target = flat[path]
         if val.ndim == 4 and target.ndim == 4:
             val = val.transpose(2, 3, 1, 0)  # OIHW -> HWIO
-        elif val.ndim == 2 and target.ndim == 2:
+        elif (val.ndim == 2 and target.ndim == 2
+              and target_leaf != "embedding"):  # codebooks aren't transposed
             val = val.T
         if val.shape != target.shape:
             unmatched.append(f"{tkey} (shape {val.shape} vs {target.shape})")
@@ -121,6 +130,9 @@ def flax_to_torch(flax_params) -> Dict[str, np.ndarray]:
             name, v = "weight", (val.transpose(3, 2, 0, 1)
                                  if val.ndim == 4 else val.T)
         elif leaf == "scale":
+            name, v = "weight", val
+        elif leaf == "embedding":  # nn.Embedding codebook: no transpose
+            parts.append("embedding")
             name, v = "weight", val
         else:
             name, v = leaf, val

@@ -66,6 +66,7 @@ class AutoencoderKLConfig:
 class Encoder(nn.Module):
     config: AutoencoderKLConfig
     dtype: jnp.dtype = jnp.float32
+    double_z: bool = True  # False for the VQ variant (models/vq.py)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -105,7 +106,8 @@ class Encoder(nn.Module):
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=eps,
                          dtype=self.dtype, name="conv_norm_out")(x)
         x = WrappedActivation(cfg.act_fn, filtered=False)(x)
-        x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=((1, 1), (1, 1)),
+        out_ch = (2 if self.double_z else 1) * cfg.latent_channels
+        x = nn.Conv(out_ch, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv_out")(x)
         return x
 

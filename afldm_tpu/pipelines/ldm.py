@@ -40,9 +40,15 @@ class LDMPipeline:
 
     def encode(self, images, key=None):
         """image -> scaled latent; samples the posterior when a key is given,
-        else uses the mode (ref scripts/shift_ldm_ffhq.py:38-41)."""
-        mean, logvar = self._encode(self.vae_params, images)
-        z = gaussian_sample(key, mean, logvar) if key is not None else mean
+        else uses the mode (ref scripts/shift_ldm_ffhq.py:38-41). A VQModel
+        autoencoder returns pre-quantize latents directly (no posterior)."""
+        out = self._encode(self.vae_params, images)
+        if isinstance(out, tuple):
+            mean, logvar = out
+            z = (gaussian_sample(key, mean, logvar) if key is not None
+                 else mean)
+        else:
+            z = out
         return z * self.scaling_factor
 
     def decode(self, latents):

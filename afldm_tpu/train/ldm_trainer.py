@@ -37,14 +37,35 @@ class LDMTrainer(Trainer):
         if vae_config is None:
             p = os.path.join(cfg.vae_path, "vae", "config.json")
             if not os.path.exists(p):
+                p = os.path.join(cfg.vae_path, "vae_config.json")
+            if not os.path.exists(p):
                 p = os.path.join(cfg.vae_path, "config.json")
             vae_config = load_json(p)
         if isinstance(vae_config, dict):
-            vae_config = AutoencoderKLConfig.from_diffusers(vae_config)
-        self.vae = AutoencoderKL(vae_config, dtype=self.weight_dtype)
+            if cfg.is_vqvae:
+                from ..models.vq import VQModelConfig
+                vae_config = VQModelConfig.from_diffusers(vae_config)
+            else:
+                vae_config = AutoencoderKLConfig.from_diffusers(vae_config)
+        if cfg.is_vqvae:
+            # VQ-VAE autoencoder (ref ldm_trainer.py:113-115; training
+            # consumes PRE-quantize .latents, :213-214)
+            from ..models.vq import VQModel, VQModelConfig
+            if isinstance(vae_config, AutoencoderKLConfig):
+                vae_config = VQModelConfig.from_diffusers(
+                    vae_config.to_dict())
+            self.vae = VQModel(vae_config, dtype=self.weight_dtype)
+        else:
+            self.vae = AutoencoderKL(vae_config, dtype=self.weight_dtype)
 
         if unet_config is None:
-            unet_config = load_json(cfg.unet_config)
+            if cfg.unet_path:  # init from a saved pipeline/ckpt dir
+                p = os.path.join(cfg.unet_path, "unet_config.json")
+                if not os.path.exists(p):
+                    p = os.path.join(cfg.unet_path, "config.json")
+                unet_config = load_json(p)
+            else:
+                unet_config = load_json(cfg.unet_config)
         if isinstance(unet_config, dict):
             unet_config = UNet2DConfig.from_diffusers(
                 unet_config, alias_free=cfg.af_models)
@@ -54,10 +75,33 @@ class LDMTrainer(Trainer):
         self.shifter = ImageShifter("ideal",
                                     vae_config.downsample_ratio)
 
+    @staticmethod
+    def _load_saved_params(path, skeleton, prefer):
+        """Restore one entry of a trainer save_pipeline checkpoint dir
+        (the reference's from_pretrained for vae_path/unet_path,
+        ldm_trainer.py:117-123). ``skeleton`` must match the saved layout
+        (LDM: unet/unet_ema/vae; VAE: vae/model_ema); returns the first
+        non-empty entry of ``prefer`` or None when no checkpoint exists /
+        the layout differs."""
+        from .checkpoint import latest_checkpoint, restore_checkpoint
+        ckpt = latest_checkpoint(path)
+        if ckpt is None:
+            return None
+        try:
+            state = restore_checkpoint(
+                ckpt, {k: jax.device_get(v) for k, v in skeleton.items()})
+        except Exception:
+            return None
+        for k in prefer:
+            if state.get(k):
+                return state[k]
+        return None
+
     def init_optimizers(self, total_steps=None):
         self.tx = make_optimizer(
             self.cfg, total_steps,
-            grad_accum=self.base_cfg.gradient_accumulation_steps)
+            grad_accum=self.base_cfg.gradient_accumulation_steps,
+            train_batch_size=self.base_cfg.train_batch_size)
 
     def init_params(self, key, vae_params=None):
         res = self.base_cfg.resolution
@@ -67,10 +111,34 @@ class LDMTrainer(Trainer):
         lat = jnp.zeros((1, lat_res, lat_res,
                          self.unet.config.in_channels), jnp.float32)
         k1, k2 = jax.random.split(key)
-        self.vae_params = (vae_params if vae_params is not None
-                           else jax.jit(self.vae.init)(k1, img))
+        rand_vae = (vae_params if vae_params is not None
+                    else jax.jit(self.vae.init)(k1, img))
         unet_params = jax.jit(self.unet.init)(
             k2, lat, jnp.zeros((1,), jnp.int32))
+        ldm_skel = {"unet": unet_params, "unet_ema": unet_params,
+                    "vae": rand_vae}
+        if vae_params is None:
+            vae_params = rand_vae
+            if self.cfg.vae_path and os.path.isdir(self.cfg.vae_path):
+                # frozen pretrained VAE (ref ldm_trainer.py:117-118); the
+                # dir may be a VAE-trainer save_pipeline (vae/model_ema)
+                # or an LDM run (unet/unet_ema/vae — e.g. the reference SR
+                # config inits its VAE from the FFHQ AFLDM run)
+                loaded = (self._load_saved_params(
+                    self.cfg.vae_path,
+                    {"vae": rand_vae, "model_ema": rand_vae},
+                    ("model_ema", "vae"))
+                    or self._load_saved_params(self.cfg.vae_path, ldm_skel,
+                                               ("vae",)))
+                if loaded is not None:
+                    vae_params = loaded
+        self.vae_params = vae_params
+        if self.cfg.unet_path and os.path.isdir(self.cfg.unet_path):
+            # continue from a trained UNet (ref ldm_trainer.py:120-123)
+            loaded = self._load_saved_params(self.cfg.unet_path, ldm_skel,
+                                             ("unet",))
+            if loaded is not None:
+                unet_params = loaded
         return unet_params
 
     def prepare_modules(self, key=jax.random.PRNGKey(0), vae_params=None):
@@ -102,10 +170,18 @@ class LDMTrainer(Trainer):
         tx = self.tx
         use_ema = cfg.use_ema
 
+        is_vqvae = cfg.is_vqvae
+
         def loss_fn(params, vae_params, images, key):
             k_enc, k_noise, k_t, k_off = jax.random.split(key, 4)
-            mean, logvar = vae.apply(vae_params, images, method="encode")
-            latents = gaussian_sample(k_enc, mean, logvar) * scaling
+            if is_vqvae:
+                # pre-quantize latents (ref ldm_trainer.py:213-214)
+                latents = vae.apply(vae_params, images,
+                                    method="encode") * scaling
+            else:
+                mean, logvar = vae.apply(vae_params, images,
+                                         method="encode")
+                latents = gaussian_sample(k_enc, mean, logvar) * scaling
             latents = jax.lax.stop_gradient(latents)
 
             bsz = latents.shape[0]

@@ -30,20 +30,25 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(cfg, total_steps: Optional[int] = None,
-                   grad_accum: int = 1):
+                   grad_accum: int = 1, train_batch_size: int = 1):
     """AdamW + lr schedule + global-norm clip (the reference's AdamW/
-    get_scheduler stack, ldm_trainer.py:168-184)."""
+    get_scheduler stack, ldm_trainer.py:168-184). ``scale_lr`` multiplies
+    the lr by grad_accum * batch * processes (ldm_trainer.py:163-167)."""
+    base_lr = cfg.learning_rate
+    if getattr(cfg, "scale_lr", False):
+        base_lr = (base_lr * grad_accum * train_batch_size
+                   * jax.process_count())
     if cfg.lr_scheduler == "constant":
         lr = optax.schedules.join_schedules(
-            [optax.schedules.linear_schedule(0.0, cfg.learning_rate,
+            [optax.schedules.linear_schedule(0.0, base_lr,
                                              max(cfg.lr_warmup_steps, 1)),
-             optax.schedules.constant_schedule(cfg.learning_rate)],
+             optax.schedules.constant_schedule(base_lr)],
             [max(cfg.lr_warmup_steps, 1)]) if cfg.lr_warmup_steps else \
-            optax.schedules.constant_schedule(cfg.learning_rate)
+            optax.schedules.constant_schedule(base_lr)
     elif cfg.lr_scheduler == "cosine":
         assert total_steps is not None
         lr = optax.schedules.warmup_cosine_decay_schedule(
-            0.0, cfg.learning_rate, cfg.lr_warmup_steps, total_steps)
+            0.0, base_lr, cfg.lr_warmup_steps, total_steps)
     else:
         raise ValueError(cfg.lr_scheduler)
     tx = optax.chain(

@@ -50,8 +50,10 @@ class VAETrainer(Trainer):
             load_lpips_vgg_features(cfg.lpips_vgg_path)
 
     def init_optimizers(self, total_steps=None):
-        self.tx = make_optimizer(self.cfg, total_steps,
-                                 grad_accum=self.cfg.gradient_accumulation_steps)
+        self.tx = make_optimizer(
+            self.cfg, total_steps,
+            grad_accum=self.cfg.gradient_accumulation_steps,
+            train_batch_size=self.base_cfg.train_batch_size)
         if self.cfg.use_disc:
             self.disc_tx = make_optimizer(self.cfg, total_steps)
 
@@ -230,16 +232,43 @@ class VAETrainer(Trainer):
         return {k: float(v) for k, v in logs.items()}
 
     def validate(self, global_step, images=None):
-        """Reconstruction preview + masked metrics
+        """Reconstruction preview of the first train samples + optional
+        valid-set MSE/perceptual/PSNR when valid_data_dir is configured
         (ref vae_trainer.py:275-331)."""
+        if images is None and getattr(self, "dataset", None) is not None:
+            images = jnp.stack([
+                jnp.asarray(self.dataset[i]["input"])
+                for i in range(min(5, len(self.dataset)))])
         if images is None:
             return {}
         params = (self.state.ema_params
                   if self.cfg.use_ema and self.state.ema_params is not None
                   else self.state.params)
-        recon, mean, logvar = jax.jit(self.model.apply)(params, images)
-        mse = float(jnp.mean((recon - images) ** 2))
-        return {"val_mse": mse, "recon": np.asarray(recon)}
+        apply = jax.jit(self.model.apply)
+        recon, mean, logvar = apply(params, images)
+        out = {"val_mse": float(jnp.mean((recon - images) ** 2)),
+               "recon": np.asarray(recon)}
+
+        vdir = self.base_cfg.valid_data_dir
+        if vdir and os.path.isdir(vdir):
+            from .data import ImageFolderDataset, epoch_batches
+            from ..shift.metrics import psnr
+            vds = ImageFolderDataset(vdir,
+                                     resolution=self.base_cfg.resolution,
+                                     random_flip=False)
+            tot_mse = tot_p = tot_psnr = n = 0.0
+            for b in epoch_batches(vds, min(4, len(vds)), seed=0):
+                x = jnp.asarray(b["input"])
+                rx, _, _ = apply(params, x)
+                tot_mse += float(jnp.mean((x - rx) ** 2)) * x.shape[0]
+                tot_p += float(perceptual_loss(x, rx)) * x.shape[0]
+                tot_psnr += float(psnr(x, rx)) * x.shape[0]
+                n += x.shape[0]
+            if n:
+                out.update(valid_mse=tot_mse / n,
+                           valid_perceptual=tot_p / n,
+                           valid_psnr=tot_psnr / n)
+        return out
 
     def save_pipeline(self, output_dir):
         from .checkpoint import save_checkpoint

@@ -211,3 +211,53 @@ def test_discriminator_shapes(rng):
     params = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(params, x)
     assert out.shape[0] == 2 and out.shape[-1] == 1
+
+
+def test_vq_model_forward_and_quantize(rng):
+    """VQModel: encode returns pre-quantize latents; decode quantizes to
+    codebook entries; straight-through gradients flow (models/vq.py,
+    ref ldm_trainer.py:113-115,213-214)."""
+    from afldm_tpu.models import VQModel, VQModelConfig
+    cfg = VQModelConfig(block_out_channels=(8, 8), layers_per_block=1,
+                        norm_num_groups=4, latent_channels=4,
+                        vq_embed_dim=4, num_vq_embeddings=16,
+                        sample_size=16)
+    m = VQModel(cfg)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    z = m.apply(params, x, method="encode")
+    assert z.shape == (1, 8, 8, 4)
+    dec = m.apply(params, z, method="decode")
+    assert dec.shape == (1, 16, 16, 3)
+    # quantized latents are codebook rows
+    zq, idx = m.apply(params, z, method="quantize_latents")
+    emb = params["params"]["quantize"]["embedding"]
+    np.testing.assert_allclose(np.asarray(zq).reshape(-1, 4),
+                               np.asarray(emb)[np.asarray(idx).ravel()],
+                               atol=1e-6)
+    # straight-through: grads reach the encoder through the quantizer
+    g = jax.grad(lambda p: (m.apply(p, x)[0] ** 2).sum())(params)
+    enc_leaves = jax.tree_util.tree_leaves(g["params"]["encoder"])
+    assert any(float(jnp.abs(l).max()) > 0 for l in enc_leaves)
+
+
+def test_vq_model_conversion_keys(rng):
+    from afldm_tpu.models import VQModel, VQModelConfig
+    from afldm_tpu.models.convert import flax_to_torch, torch_to_flax
+    cfg = VQModelConfig(block_out_channels=(8, 8), layers_per_block=1,
+                        norm_num_groups=4, latent_channels=4,
+                        vq_embed_dim=4, num_vq_embeddings=16,
+                        sample_size=16)
+    m = VQModel(cfg)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    sd = flax_to_torch(params)
+    for key in ["encoder.conv_in.weight", "quant_conv.weight",
+                "quantize.embedding.weight", "post_quant_conv.weight",
+                "decoder.conv_out.weight"]:
+        assert key in sd, sorted(k for k in sd if "quant" in k)
+    sd2 = {k: v + 1.0 for k, v in sd.items()}
+    _, report = torch_to_flax(sd2, params)
+    assert not report["unmatched_torch_keys"], \
+        report["unmatched_torch_keys"][:5]
+    assert not report["unfilled_flax_leaves"], \
+        report["unfilled_flax_leaves"][:5]

@@ -197,3 +197,92 @@ def test_train_cli_smoke(tmp_path):
     ckpts = [d for d in os.listdir(tmp_path / "o")
              if d.startswith("checkpoint-")]
     assert ckpts, os.listdir(tmp_path / "o")
+
+
+def test_scale_lr(tmp_path):
+    """scale_lr multiplies lr by grad_accum * batch (ldm_trainer.py:163)."""
+    from afldm_tpu.train.trainer import make_optimizer
+    import optax
+    cfg = LDMTrainingConfig(vae_path="", scheduler_path="",
+                            learning_rate=1e-4, lr_warmup_steps=0,
+                            scale_lr=True)
+    tx = make_optimizer(cfg, 10, grad_accum=1, train_batch_size=16)
+    params = {"w": jnp.ones((2,))}
+    state = tx.init(params)
+    grads = {"w": jnp.ones((2,))}
+    updates, _ = tx.update(grads, state, params)
+    # adam first step of unit grads ~= -lr * (1 + weight_decay);
+    # scaled lr = 1e-4 * 16
+    np.testing.assert_allclose(np.asarray(updates["w"]), -1.6e-3, rtol=0.05)
+
+
+def test_ldm_pretrained_paths(tmp_path):
+    """vae_path / unet_path load weights from save_pipeline dirs
+    (ref ldm_trainer.py:113-123)."""
+    base = _base(tmp_path)
+    cfg = LDMTrainingConfig(vae_path="", scheduler_path="",
+                            use_shift_loss=False, use_cross_attn=False,
+                            use_ema=True, learning_rate=1e-3,
+                            lr_warmup_steps=0)
+    tr = create_trainer("ldm", base, cfg)
+    tr.init_modules(vae_config=TINY_VAE_CFG, unet_config=TINY_UNET_CFG,
+                    scheduler_config=SCHED_CFG)
+    tr.init_optimizers(10)
+    tr.prepare_modules()
+    ds = SyntheticDataset(resolution=16, length=8)
+    _run_steps(tr, 2, ds)
+    pipe_dir = str(tmp_path / "pipeline")
+    tr.save_pipeline(pipe_dir)
+
+    cfg2 = LDMTrainingConfig(vae_path=pipe_dir, unet_path=pipe_dir,
+                             scheduler_path="", use_shift_loss=False,
+                             use_cross_attn=False, use_ema=False,
+                             learning_rate=1e-3, lr_warmup_steps=0)
+    tr2 = create_trainer("ldm", base, cfg2)
+    tr2.init_modules(vae_config=TINY_VAE_CFG, scheduler_config=SCHED_CFG)
+    tr2.init_optimizers(10)
+    tr2.prepare_modules()
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
+                    jax.tree_util.tree_leaves(tr2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_vae_validate_defaults(tmp_path):
+    """validate() reconstructs the first train samples without explicit
+    images (ref vae_trainer.py:288-291)."""
+    base = _base(tmp_path)
+    cfg = VAETrainingConfig(model_cfg="", use_shift_loss=False,
+                            use_disc=False, learning_rate=1e-3,
+                            lr_warmup_steps=0,
+                            gradient_accumulation_steps=1)
+    tr = create_trainer("vae", base, cfg)
+    tr.init_modules(vae_config=TINY_VAE_CFG)
+    tr.init_optimizers(10)
+    tr.prepare_modules()
+    tr.set_dataset(SyntheticDataset(resolution=16, length=8))
+    out = tr.validate(0)
+    assert "val_mse" in out and np.isfinite(out["val_mse"])
+    assert out["recon"].shape[0] == 5
+
+
+def test_ldm_trainer_vqvae(tmp_path):
+    """is_vqvae swaps the autoencoder for the VQModel (pre-quantize
+    latents in training, ref ldm_trainer.py:113-115,213-214)."""
+    from afldm_tpu.models import VQModelConfig
+    base = _base(tmp_path)
+    cfg = LDMTrainingConfig(vae_path="", scheduler_path="", is_vqvae=True,
+                            use_shift_loss=False, use_cross_attn=False,
+                            use_ema=False, learning_rate=1e-3,
+                            lr_warmup_steps=0)
+    vq_cfg = VQModelConfig(block_out_channels=(8, 8), layers_per_block=1,
+                           norm_num_groups=4, latent_channels=4,
+                           vq_embed_dim=4, num_vq_embeddings=16,
+                           sample_size=16, scaling_factor=1.0)
+    tr = create_trainer("ldm", base, cfg)
+    tr.init_modules(vae_config=vq_cfg, unet_config=TINY_UNET_CFG,
+                    scheduler_config=SCHED_CFG)
+    tr.init_optimizers(10)
+    tr.prepare_modules()
+    ds = SyntheticDataset(resolution=16, length=16)
+    logs = _run_steps(tr, 3, ds)
+    assert all(np.isfinite(l["train_loss"]) for l in logs)

@@ -175,6 +175,12 @@ def main():
             if args.max_steps and global_step >= args.max_steps:
                 done = True
                 break
+        # epoch-cadence validation (ref train.py:393 valid_epochs)
+        if base.valid_epochs and ((epoch + 1) % base.valid_epochs == 0
+                                  or epoch == base.num_epochs - 1):
+            v = trainer.validate(global_step)
+            log.info("validation (epoch %d): %s", epoch,
+                     {k: v[k] for k in v if np.isscalar(v[k])})
         if ((epoch + 1) % base.save_model_epochs == 0 or done) and is_main:
             trainer.save_pipeline(os.path.join(base.output_dir, "pipeline"))
             log.info("saved pipeline (epoch %d)", epoch)
