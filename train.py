@@ -22,6 +22,12 @@ def main():
                         help="capture a jax.profiler trace of train steps "
                              "11..10+N into <output_dir>/<logging_dir>/"
                              "profile (view with TensorBoard/XProf)")
+    parser.add_argument("--nan_guard", type=int, default=3, metavar="K",
+                        help="failure detection (SURVEY.md §5.3; the "
+                             "reference has none): on a non-finite loss, "
+                             "restore the latest checkpoint and continue; "
+                             "abort after K consecutive restores. 0 "
+                             "disables")
     args = parser.parse_args()
 
     import jax
@@ -117,6 +123,7 @@ def main():
     t0 = time.time()
     done = False
     prof = None
+    nan_restores = 0
     profile_start = global_step + 10  # steady state, resume-safe
     for epoch in range(base.num_epochs):
         if done:
@@ -135,6 +142,23 @@ def main():
                 prof.__enter__()
                 log.info("profiling %d steps -> %s", args.profile, prof_dir)
             logs = trainer.training_step(global_step, batch)
+            if args.nan_guard and not np.isfinite(
+                    logs.get("train_loss", 0.0)):
+                nan_restores += 1
+                log.error("non-finite loss at step %d (%s); restore #%d",
+                          global_step, logs, nan_restores)
+                if nan_restores >= args.nan_guard:
+                    raise RuntimeError(
+                        f"{nan_restores} consecutive non-finite losses — "
+                        "aborting (use --nan_guard 0 to disable)")
+                path = latest_checkpoint(base.output_dir)
+                if path:
+                    state = restore_checkpoint(path, jax.device_get(
+                        trainer.state_for_checkpoint()))
+                    trainer.load_state(trainer.place_state(state))
+                    log.warning("restored %s; skipping this batch", path)
+                continue
+            nan_restores = 0
             global_step += 1
             if prof is not None and global_step == profile_start + args.profile:
                 prof.__exit__(None, None, None)
