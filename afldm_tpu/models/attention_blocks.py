@@ -8,10 +8,10 @@ substitutes it as the K/V source on LOAD (cross_frame_attn.py:66-125,
 3D branch). Here that is the explicit ``kv_override`` input, and the
 normed hidden states are returned for collection."""
 
-import numpy as np
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+from ..ops.attention import sdpa
 
 
 class CrossAttention(nn.Module):
@@ -42,11 +42,7 @@ class CrossAttention(nn.Module):
                                  self.head_dim).transpose(0, 2, 1, 3)
 
             qh, kh, vh = split(q), split(k), split(v)
-            attn = jax.nn.softmax(
-                jnp.einsum("nhqd,nhkd->nhqk", qh, kh,
-                           preferred_element_type=jnp.float32)
-                / np.sqrt(self.head_dim), axis=-1).astype(vh.dtype)
-            out = jnp.einsum("nhqk,nhkd->nhqd", attn, vh)
+            out = sdpa(qh, kh, vh)
             out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1],
                                                     C)
             return to_out(out)

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.attention import sdpa
+
 from ..ops.ideal_lpf import (
     upsample_rfft,
     downsample_rfft,
@@ -175,11 +177,7 @@ class Attention(nn.Module):
                                  hd).transpose(0, 2, 1, 3)
 
             qh, kh, vh = split(q), split(k), split(v)
-            attn = jax.nn.softmax(
-                jnp.einsum("nhqd,nhkd->nhqk", qh, kh,
-                           preferred_element_type=jnp.float32)
-                / np.sqrt(hd), axis=-1).astype(vh.dtype)
-            out = jnp.einsum("nhqk,nhkd->nhqd", attn, vh)
+            out = sdpa(qh, kh, vh)
             out = out.transpose(0, 2, 1, 3).reshape(N, H * W, C)
             return to_out(out)
 

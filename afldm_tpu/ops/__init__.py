@@ -11,6 +11,7 @@ from .ideal_lpf import (
 )
 from .bias_act import (bias_act, activation_funcs, fma,
                        filtered_lrelu)
+from .attention import (sdpa, sdpa_flash, sdpa_xla, set_attention_impl)
 from .upfirdn2d import (
     conv2d_resample,
     upfirdn2d,
@@ -31,6 +32,10 @@ __all__ = [
     "subpixel_shift",
     "filtered_nonlinearity",
     "bias_act",
+    "sdpa",
+    "sdpa_flash",
+    "sdpa_xla",
+    "set_attention_impl",
     "fma",
     "filtered_lrelu",
     "conv2d_resample",

@@ -1,0 +1,211 @@
+"""Scaled-dot-product attention with a fused Pallas TPU flash kernel.
+
+The reference runs plain SDPA through torch's ``AttnProcessor2_0``
+(``/root/reference/afldm/pipelines/cross_frame_attn.py:3,54`` — cuDNN
+flash attention on CUDA). The XLA path here materializes the
+(L_q, L_k) score matrix in HBM; at SD sizes (64x64 latents = 4096
+tokens) that is 4096^2 x heads x 4 bytes ~ 0.5 GB of HBM traffic per
+UNet self-attention. ``sdpa_flash`` is the TPU-native equivalent of the
+reference's fused-attention dependency: an online-softmax (flash)
+kernel that keeps the score block in VMEM, tiled (block_q, block_k)
+over a sequential grid with running (max, sum, acc) scratch carried
+across K/V blocks.
+
+Backward is a custom VJP that recomputes the softmax with the XLA
+einsum path (remat-style: no residual score matrix is stored; training
+shapes in this codebase are latent-sized, where XLA wins anyway).
+
+Dispatch mirrors ops.pallas_kernels: ``set_attention_impl("auto")``
+(default) uses the flash kernel only where it is measured to win —
+long self-attention sequences on TPU — and the XLA einsum elsewhere
+(short/cross attention, CPU, ragged lengths).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret():
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path (the exact semantics of the model einsum-SDPA:
+# f32 scores, softmax in f32, cast to v dtype for the PV matmul).
+# ---------------------------------------------------------------------------
+
+def sdpa_xla(q, k, v, scale=None):
+    """q: (..., Lq, D), k/v: (..., Lk, D) -> (..., Lq, D)."""
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    s = jnp.einsum("...qd,...kd->...qk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("...qk,...kd->...qd", p, v)
+
+
+# ---------------------------------------------------------------------------
+# Flash kernel. Grid (batch*heads, Lq/bq, Lk/bk); the K axis is the
+# innermost (sequential) grid dimension, so the (m, l, acc) scratch
+# persists across K blocks of one Q block: classic online softmax.
+# ---------------------------------------------------------------------------
+
+_NEG_INF = -1e30  # rows are never fully masked; a finite sentinel avoids inf-inf
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  scale):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    qb = q_ref[0]                      # (bq, D)
+    kb = k_ref[0]                      # (bk, D)
+    s = jax.lax.dot_general(
+        qb, kb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (bq, bk)
+
+    m_prev = m_ref[...]                # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)             # (bq, bk) f32
+    corr = jnp.exp(m_prev - m_new)     # (bq, 1)
+    l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[...] = m_new
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (bq, D)
+    acc_ref[...] = acc_ref[...] * corr + pv
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+
+
+def _flash_3d(q, k, v, scale, block_q, block_k):
+    """q: (B, Lq, D), k/v: (B, Lk, D) — B is the flattened batch*heads."""
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    bq = min(block_q, Lq)
+    bk = min(block_k, Lk)
+    assert Lq % bq == 0 and Lk % bk == 0, (q.shape, k.shape, bq, bk)
+
+    return pl.pallas_call(
+        partial(_flash_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
+        grid=(B, Lq // bq, Lk // bk),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, kk: (b, i, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i, kk: (b, kk, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i, kk: (b, kk, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, kk: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+    )(q, k, v)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def sdpa_flash(q, k, v, scale=None, block_q=256, block_k=512):
+    """Flash SDPA. q: (..., Lq, D), k/v: (..., Lk, D); leading dims are
+    flattened into the kernel batch. Equals sdpa_xla to ~1e-6 f32."""
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    lead = q.shape[:-2]
+    Lq, D = q.shape[-2:]
+    Lk = k.shape[-2]
+    q3 = q.reshape((-1, Lq, D))
+    k3 = k.reshape((-1, Lk, D))
+    v3 = v.reshape((-1, Lk, D))
+    out = _flash_3d(q3, k3, v3, scale, block_q, block_k)
+    return out.reshape(lead + (Lq, D))
+
+
+def _sdpa_fwd(q, k, v, scale, block_q, block_k):
+    return sdpa_flash(q, k, v, scale, block_q, block_k), (q, k, v)
+
+
+def _sdpa_bwd(scale, block_q, block_k, res, g):
+    # remat backward through the XLA einsum graph — no stored score matrix
+    q, k, v = res
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    s = jnp.einsum("...qd,...kd->...qk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)                      # f32
+    gf = g.astype(jnp.float32)
+    dv = jnp.einsum("...qk,...qd->...kd", p, gf).astype(v.dtype)
+    dp = jnp.einsum("...qd,...kd->...qk", gf, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = (jnp.einsum("...qk,...kd->...qd", ds, k.astype(jnp.float32))
+          * scale).astype(q.dtype)
+    dk = (jnp.einsum("...qk,...qd->...kd", ds, q.astype(jnp.float32))
+          * scale).astype(k.dtype)
+    return dq, dk, dv
+
+
+sdpa_flash.defvjp(_sdpa_fwd, _sdpa_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+# Measured crossovers (BENCH_NOTES.md, v5e, f32): 1.68-1.74x at 4096
+# tokens (SD 64x64 self-attention) at any batch, 1.38x at 1024 tokens once
+# batch*heads >= ~64 (batched FFHQ denoise), a ~4% tie-or-loss below that.
+# 77-token cross-attention always stays on XLA.
+_FLASH_MIN_Q = 2048
+_FLASH_MIN_K = 512
+_FLASH_MIN_Q_BATCHED = 1024   # enough rows amortize the kernel at 1024 tokens
+_FLASH_MIN_BATCH_HEADS = 64
+_IMPL = "auto"
+
+
+def set_attention_impl(impl: str):
+    """'auto' (flash where measured to win), 'xla', or 'flash' (forced)."""
+    global _IMPL
+    assert impl in ("auto", "xla", "flash"), impl
+    _IMPL = impl
+
+
+def flash_supported(q_shape, k_shape, block_q=256, block_k=512) -> bool:
+    Lq, D = q_shape[-2:]
+    Lk = k_shape[-2]
+    return (Lq % min(block_q, Lq) == 0 and Lk % min(block_k, Lk) == 0
+            and D <= 256)
+
+
+def sdpa(q, k, v, scale=None):
+    """Dispatching SDPA for the model attention blocks.
+
+    q: (..., Lq, D), k/v: (..., Lk, D). 'auto' runs the Pallas flash
+    kernel for long self-attention on TPU and XLA einsum-SDPA elsewhere.
+    """
+    if _IMPL != "xla" and flash_supported(q.shape, k.shape):
+        forced = _IMPL == "flash"
+        bh = int(np.prod(q.shape[:-2])) if q.ndim > 2 else 1
+        long_q = q.shape[-2] >= _FLASH_MIN_Q or (
+            q.shape[-2] >= _FLASH_MIN_Q_BATCHED
+            and bh >= _FLASH_MIN_BATCH_HEADS)
+        wins = long_q and k.shape[-2] >= _FLASH_MIN_K
+        if forced or (wins and not _interpret()):
+            return sdpa_flash(q, k, v, scale)
+    if _IMPL == "flash":
+        raise ValueError(
+            f"flash kernel unsupported for shapes {q.shape} x {k.shape}")
+    return sdpa_xla(q, k, v, scale)

@@ -141,6 +141,51 @@ def measure_vae(batch=4, res=256, repeats=3, dtype=None):
     return batch / best
 
 
+def measure_sd(batch=2, repeats=3, dtype=None, attn_impl="auto"):
+    """SD1.5-size conditional UNet denoise at 64x64 latents (4096-token
+    self-attention) — the video-editing / interpolation / normal-control
+    workload. ``attn_impl`` A/B's the Pallas flash-attention dispatcher
+    (ops/attention.py) in full-model context."""
+    import jax
+    import jax.numpy as jnp
+    from afldm_tpu.models import (UNet2DConditionModel,
+                                  UNet2DConditionConfig)
+    from afldm_tpu.ops.attention import set_attention_impl
+
+    cfg = UNet2DConditionConfig(alias_free=True)
+    unet = UNet2DConditionModel(cfg, dtype=dtype or jnp.float32)
+    lat1 = jnp.zeros((1, 64, 64, 4), jnp.float32)
+    ehs = jnp.zeros((batch, 77, cfg.cross_attention_dim), jnp.float32)
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat1,
+                                jnp.zeros((1,), jnp.int32), ehs[:1])
+    if dtype is not None:
+        params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+    set_attention_impl(attn_impl)
+    try:
+        @jax.jit
+        def denoise10(params, x):
+            def body(carry, t):
+                eps, _ = unet.apply(params, carry, t, ehs)
+                return carry - 0.01 * eps, None
+            out = jax.lax.scan(body, x,
+                               jnp.arange(10, dtype=jnp.int32))[0]
+            return out, out.sum()
+
+        x = jax.random.normal(jax.random.PRNGKey(1), (batch, 64, 64, 4),
+                              jnp.float32)
+        _, s = denoise10(params, x)
+        float(s)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _, s = denoise10(params, x)
+            float(s)
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        set_attention_impl("auto")
+    return 10 / best
+
+
 def cpu_baseline():
     """Measure (or load cached) CPU steps/s via a subprocess pinned to the
     host backend."""
@@ -183,6 +228,12 @@ def main():
                             cast_params=True, return_details=True)
                 extras[f"unet_denoise_b{batch}_{name}"] = d
                 print(f"unet b{batch} {name}: {d}", file=sys.stderr)
+        for impl in ("xla", "auto"):
+            sps = measure_sd(attn_impl=impl)
+            extras[f"sd_unet_denoise_b2_attn_{impl}_steps_per_s"] = round(
+                sps, 3)
+            print(f"sd unet b2 attn={impl}: {sps:.2f} steps/s",
+                  file=sys.stderr)
         extras["vae_enc_dec_b4_f32_img_per_s"] = round(measure_vae(), 3)
         extras["vae_enc_dec_b4_bf16_img_per_s"] = round(
             measure_vae(dtype=jnp.bfloat16), 3)

@@ -1,0 +1,94 @@
+"""ops/attention.py: the Pallas flash-SDPA kernel vs the XLA einsum path
+(reference semantics: AttnProcessor2_0 SDPA, cross_frame_attn.py:3)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from afldm_tpu.ops.attention import (sdpa, sdpa_xla, sdpa_flash,
+                                     flash_supported, set_attention_impl)
+
+
+def _rand(shape, dtype=jnp.float32, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape), dtype)
+
+
+SHAPES = [
+    # (B, H, Lq, Lk, D)
+    (2, 3, 512, 512, 40),     # SD-like head dim, non-128 lanes
+    (1, 2, 1024, 512, 64),    # ragged Lq != Lk
+    (2, 1, 256, 256, 80),     # single K block (bk > Lk)
+    (1, 4, 512, 1536, 24),    # FFHQ head_dim 24, 3 K blocks
+]
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_flash_matches_xla(shape):
+    B, H, Lq, Lk, D = shape
+    q = _rand((B, H, Lq, D), seed=1)
+    k = _rand((B, H, Lk, D), seed=2)
+    v = _rand((B, H, Lk, D), seed=3)
+    ref = sdpa_xla(q, k, v)
+    out = jax.jit(sdpa_flash)(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_flash_grad_matches_xla():
+    q = _rand((1, 2, 512, 40), seed=4)
+    k = _rand((1, 2, 512, 40), seed=5)
+    v = _rand((1, 2, 512, 40), seed=6)
+    gr = jax.grad(lambda *a: (sdpa_xla(*a) ** 2).sum(), (0, 1, 2))(q, k, v)
+    gf = jax.jit(jax.grad(lambda *a: (sdpa_flash(*a) ** 2).sum(),
+                          (0, 1, 2)))(q, k, v)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-6, rtol=1e-4)
+
+
+def test_flash_bf16():
+    q = _rand((2, 2, 512, 40), jnp.bfloat16, seed=7)
+    k = _rand((2, 2, 512, 40), jnp.bfloat16, seed=8)
+    v = _rand((2, 2, 512, 40), jnp.bfloat16, seed=9)
+    ref = sdpa_xla(q, k, v)
+    out = jax.jit(sdpa_flash)(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2)
+
+
+def test_flash_custom_scale():
+    q = _rand((1, 1, 256, 32), seed=10)
+    k = _rand((1, 1, 256, 32), seed=11)
+    v = _rand((1, 1, 256, 32), seed=12)
+    ref = sdpa_xla(q, k, v, scale=0.5)
+    out = jax.jit(lambda *a: sdpa_flash(*a, 0.5))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6,
+                               rtol=1e-5)
+
+
+def test_dispatch():
+    # short sequences: auto stays on XLA (flash threshold is 2048 tokens)
+    q = _rand((1, 1, 128, 16), seed=13)
+    out_auto = jax.jit(sdpa)(q, q, q)
+    np.testing.assert_allclose(np.asarray(out_auto),
+                               np.asarray(sdpa_xla(q, q, q)), atol=1e-6)
+    # forced flash runs the kernel even below the threshold
+    set_attention_impl("flash")
+    try:
+        out = jax.jit(sdpa)(q, q, q)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(sdpa_xla(q, q, q)), atol=2e-6)
+        with pytest.raises(ValueError):
+            bad = _rand((1, 1, 384, 16), seed=14)  # 384 % 256 != 0
+            sdpa(bad, bad, bad)
+    finally:
+        set_attention_impl("auto")
+
+
+def test_flash_supported_gate():
+    assert flash_supported((1, 1, 4096, 40), (1, 1, 4096, 40))
+    assert not flash_supported((1, 1, 384, 40), (1, 1, 384, 40))
+    assert not flash_supported((1, 1, 4096, 300), (1, 1, 4096, 300))
