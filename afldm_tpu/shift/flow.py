@@ -355,3 +355,51 @@ def noise_image_random_translate(key, img, noise, max_offset_i, max_offset_j,
         warped_noise = flow_warp_with_occ_bg(k_col, noise, noise_flow,
                                              noise_mask, True)
     return warped_img, warped_noise
+
+
+# -- flow-model-coupled wrappers (ref flow_utils.py:156-203) ----------------
+# ``flow_fn(img0, img1) -> (fwd, fwd_occ, bwd, bwd_occ)`` is this repo's
+# bidirectional-flow interface (models.gmflow.make_gmflow_flow_fn or
+# shift.simple_flow); flows are NHWC (di, dj) throughout — the reference's
+# channel flip of bwd_flow (flow_utils.py:176) is an (dx, dy) <-> (dy, dx)
+# conversion this convention never needs.
+
+
+def predict_flow(flow_fn, image1, image2, padding_factor=8):
+    """Pad to a multiple of ``padding_factor``, run the flow model both
+    ways, unpad, and recompute UnFlow occlusions on the unpadded flows
+    (ref flow_utils.py:181-193)."""
+    padder = InputPadder(image1.shape, padding_factor=padding_factor)
+    im1, im2 = padder.pad(image1, image2)
+    fwd, _, bwd, _ = flow_fn(im1, im2)
+    fwd, bwd = padder.unpad(fwd), padder.unpad(bwd)
+    fwd_occ, bwd_occ = forward_backward_consistency_check(fwd, bwd)
+    return fwd, fwd_occ, bwd, bwd_occ
+
+
+def get_warped_and_mask(flow_fn, image1, image2, image3=None,
+                        pixel_consistency=False):
+    """Backward-warp ``image3`` (default: image1) along the 2->1 flow and
+    return it with the backward occlusion mask and flow
+    (ref flow_utils.py:156-178; beta=1 occlusion threshold)."""
+    if image3 is None:
+        image3 = image1
+    padder = InputPadder(image1.shape, padding_factor=16)
+    im1, im2 = padder.pad(image1, image2)
+    fwd, _, bwd, _ = flow_fn(im1, im2)
+    fwd, bwd = padder.unpad(fwd), padder.unpad(bwd)
+    fwd_occ, bwd_occ = forward_backward_consistency_check(fwd, bwd, beta=1)
+    if pixel_consistency:
+        warped_image1 = flow_warp(image1, bwd)
+        drift = (jnp.abs(image2 - warped_image1).mean(
+            axis=-1, keepdims=True) > 255 * 0.25).astype(bwd_occ.dtype)
+        bwd_occ = jnp.clip(bwd_occ + drift, 0, 1)
+    return flow_warp(image3, bwd), bwd_occ, bwd
+
+
+def alpha_warp(flow_fn, image1, image2, alpha):
+    """Forward-splat image1 a fraction ``alpha`` of the way toward image2
+    (ref flow_utils.py:197-203)."""
+    fwd, fwd_occ, bwd, bwd_occ = predict_flow(flow_fn, image1, image2)
+    warped = flow_warp_splat_nearest(image1, fwd * alpha, fwd_occ)
+    return warped, fwd, fwd_occ, bwd, bwd_occ

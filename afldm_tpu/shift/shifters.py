@@ -232,6 +232,16 @@ def get_blur_kernel(length=4):
     return jnp.asarray(k2 / k2.sum())
 
 
+def upsample_pad_zero(x, scale):
+    """Zero-stuffing upsample (ref shifters.py:281-290): every input
+    pixel lands at the top-left of its scale x scale output cell, zeros
+    elsewhere. NHWC."""
+    n, h, w, c = x.shape
+    out = jnp.zeros((n, h, scale, w, scale, c), x.dtype)
+    out = out.at[:, :, 0, :, 0, :].set(x)
+    return out.reshape(n, h * scale, w * scale, c)
+
+
 class ImageUpsampler:
     """nearest / ideal / blur upsampling (ref shifters.py:293-338).
     The 'learn' mode (a ConvTranspose seeded with the blur kernel) lives in

@@ -101,3 +101,66 @@ def test_learned_upsampler(rng):
     assert y.shape == (1, 16, 16, 3)
     # blur-kernel init approximately preserves the mean
     assert abs(float(y.mean()) - float(x.mean())) < 0.2
+
+
+def test_upsample_pad_zero_matches_reference(rng):
+    import torch
+    from _reference import import_reference
+    ref_upz = import_reference().shifters.upsample_pad_zero
+    from afldm_tpu.shift import upsample_pad_zero
+
+    x = rng.standard_normal((2, 5, 7, 3)).astype(np.float32)
+    ref = ref_upz(torch.from_numpy(x).permute(0, 3, 1, 2), 3)
+    got = upsample_pad_zero(jnp.asarray(x), 3)
+    np.testing.assert_allclose(
+        np.asarray(got), ref.permute(0, 2, 3, 1).numpy(), atol=0)
+
+
+def _const_flow_fn(di, dj):
+    def fn(a, b):
+        n, h, w, _ = a.shape
+        fwd = jnp.broadcast_to(jnp.asarray([di, dj], jnp.float32),
+                               (n, h, w, 2))
+        z = jnp.zeros((n, h, w, 1), jnp.float32)
+        return fwd, z, -fwd, z
+    return fn
+
+
+def test_predict_flow_wrapper_pads_and_unpads(rng):
+    from afldm_tpu.shift import predict_flow
+    img = jnp.asarray(rng.standard_normal((1, 30, 37, 3)), jnp.float32)
+    fwd, fwd_occ, bwd, bwd_occ = predict_flow(_const_flow_fn(1.0, -2.0),
+                                              img, img)
+    assert fwd.shape == (1, 30, 37, 2) and fwd_occ.shape == (1, 30, 37, 1)
+    np.testing.assert_allclose(np.asarray(fwd[..., 0]), 1.0)
+    np.testing.assert_allclose(np.asarray(bwd[..., 1]), 2.0)
+    # consistent fwd/bwd pair -> interior is unoccluded (the zeros-pad
+    # backward warp marks a border band, as the reference's would)
+    assert float(fwd_occ[:, 4:-4, 4:-4].sum()) == 0.0
+    assert float(bwd_occ[:, 4:-4, 4:-4].sum()) == 0.0
+
+
+def test_get_warped_and_mask_integer_shift(rng):
+    from afldm_tpu.shift import get_warped_and_mask
+    from afldm_tpu.shift import flow_warp
+    img1 = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
+    img2 = jnp.roll(img1, 2, axis=2)
+    fn = _const_flow_fn(0.0, 2.0)   # fwd: each pixel moves +2 columns
+    warped, bwd_occ, bwd = get_warped_and_mask(fn, img1, img2)
+    np.testing.assert_allclose(np.asarray(bwd[..., 1]), -2.0)
+    ref = flow_warp(img1, bwd)
+    np.testing.assert_allclose(np.asarray(warped), np.asarray(ref))
+    # pixel-consistency flag only ever grows the occlusion mask
+    _, occ2, _ = get_warped_and_mask(fn, img1, img2,
+                                     pixel_consistency=True)
+    assert float((occ2 - bwd_occ).min()) >= 0.0
+
+
+def test_alpha_warp_moves_mass(rng):
+    from afldm_tpu.shift import alpha_warp
+    img = jnp.zeros((1, 16, 16, 1)).at[0, 4, 4, 0].set(1.0)
+    warped, fwd, fwd_occ, bwd, bwd_occ = alpha_warp(
+        _const_flow_fn(4.0, 0.0), img, img, alpha=0.5)
+    # the unit mass moved by round(4 * 0.5) = 2 rows
+    assert float(warped[0, 6, 4, 0]) == 1.0
+    assert float(warped.sum()) == 1.0
