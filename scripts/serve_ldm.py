@@ -23,11 +23,19 @@ def main():
     p.add_argument("--batch_window_ms", type=float, default=5.0)
     p.add_argument("--max_batch", type=int, default=16)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--af_precision", default="highest",
+                   choices=["highest", "high", "default"],
+                   help="circulant-matmul precision for the alias-free "
+                        "ops: 'high' (3-pass, ~4e-5 err) serves the "
+                        "256px VAE ~24% faster than exact 'highest'")
     args = p.parse_args()
 
+    from afldm_tpu.ops import set_af_precision
     from afldm_tpu.pipelines.loading import (load_pipeline,
                                              init_random_pipeline)
     from afldm_tpu.serve import serve
+
+    set_af_precision(args.af_precision)
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if args.pipeline_dir:

@@ -37,12 +37,18 @@ def parse_args():
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute (FFT/circulant islands stay f32 — "
                         "ops/ideal_lpf casts internally)")
+    p.add_argument("--af_precision", default="highest",
+                   choices=["highest", "high", "default"],
+                   help="circulant-matmul precision ('high': 3-pass, "
+                        "~4e-5 err, faster VAE decode)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     import jax
+    from afldm_tpu.ops import set_af_precision
+    set_af_precision(args.af_precision)
     from afldm_tpu.pipelines import shift_equivariance_eval
     from afldm_tpu.pipelines.loading import (load_pipeline,
                                              init_random_pipeline)

@@ -87,3 +87,59 @@ def test_bf16_path(rng):
     assert out.dtype == jnp.bfloat16
     ref = filtered_nonlinearity(x.astype(jnp.float32), "silu", impl="matmul")
     assert float(jnp.abs(out.astype(jnp.float32) - ref).max()) < 0.05
+
+
+def test_af_precision_switch():
+    """set_af_precision reconfigures the circulant-matmul precision; on
+    CPU (native f32 dots) every level is exact, so this asserts the API
+    and the trace-time plumbing, not the TPU error ladder (measured in
+    BENCH_NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from afldm_tpu.ops import set_af_precision, filtered_nonlinearity
+    from afldm_tpu.ops.ideal_lpf import af_precision
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 16, 16, 8)),
+                    jnp.float32)
+    ref = filtered_nonlinearity(x, "silu", impl="matmul")
+    try:
+        set_af_precision("high")
+        assert af_precision() == jax.lax.Precision.HIGH
+        out = jax.jit(
+            lambda v: filtered_nonlinearity(v, "silu", impl="matmul"))(x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+        import pytest
+        with pytest.raises(KeyError):
+            set_af_precision("bogus")
+    finally:
+        set_af_precision("highest")
+
+
+def test_af_precision_high_three_pass_kernel():
+    """'high' inside the Pallas kernels is a manual 3-pass bf16 split
+    (Mosaic has no native HIGH); it must stay within ~1e-3 of the exact
+    HIGHEST kernel on well-scaled inputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from afldm_tpu.ops import set_af_precision
+    from afldm_tpu.ops.pallas_kernels import filtered_act_pallas
+
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 96, 96, 4)),
+        jnp.float32)
+    ref = jax.jit(lambda v: filtered_act_pallas(v, "silu", "spatial"))(x)
+    try:
+        set_af_precision("high")
+        out = jax.jit(
+            lambda v, _p="h": filtered_act_pallas(v, "silu", "spatial"))(x)
+        err = float(jnp.abs(out - ref).max())
+        assert err < 1e-3, err
+        g = jax.jit(jax.grad(
+            lambda v: (filtered_act_pallas(v, "silu", "spatial") ** 2
+                       ).sum()))(x)
+        assert bool(jnp.isfinite(g).all())
+    finally:
+        set_af_precision("highest")
