@@ -44,6 +44,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.attention import sdpa
+
 
 @dataclass(frozen=True)
 class GMFlowConfig:
@@ -138,12 +140,17 @@ def merge_windows(x, splits, H, W):
 
 
 def _attend(q, k, v, mask=None):
-    """(N, L, C) single-head scaled dot-product attention."""
+    """(N, L, C) single-head scaled dot-product attention. The unmasked
+    path (global attention over full feature maps — 4096 tokens at 512px
+    inputs) routes through ops.attention.sdpa and picks up the Pallas
+    flash kernel where it wins; the swin-masked path needs the additive
+    mask and stays on the einsum."""
     c = q.shape[-1]
+    if mask is None:
+        return sdpa(q, k, v)
     scores = jnp.einsum("nlc,nmc->nlm", q, k,
                         preferred_element_type=jnp.float32) / np.sqrt(c)
-    if mask is not None:
-        scores = scores + mask
+    scores = scores + mask
     attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("nlm,nmc->nlc", attn, v)
 

@@ -92,13 +92,26 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
+def _pick_block(L, block):
+    """Largest power-of-two fraction of ``block`` (>=128) dividing L, or
+    L itself when it fits in one block; None when nothing divides."""
+    if L <= block:
+        return L
+    b = block
+    while b >= 128:
+        if L % b == 0:
+            return b
+        b //= 2
+    return None
+
+
 def _flash_3d(q, k, v, scale, block_q, block_k):
     """q: (B, Lq, D), k/v: (B, Lk, D) — B is the flattened batch*heads."""
     B, Lq, D = q.shape
     Lk = k.shape[1]
-    bq = min(block_q, Lq)
-    bk = min(block_k, Lk)
-    assert Lq % bq == 0 and Lk % bk == 0, (q.shape, k.shape, bq, bk)
+    bq = _pick_block(Lq, block_q)
+    bk = _pick_block(Lk, block_k)
+    assert bq is not None and bk is not None, (q.shape, k.shape)
 
     return pl.pallas_call(
         partial(_flash_kernel, scale=scale),
@@ -120,7 +133,7 @@ def _flash_3d(q, k, v, scale, block_q, block_k):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def sdpa_flash(q, k, v, scale=None, block_q=256, block_k=512):
+def sdpa_flash(q, k, v, scale=None, block_q=512, block_k=1024):
     """Flash SDPA. q: (..., Lq, D), k/v: (..., Lk, D); leading dims are
     flattened into the kernel batch. Equals sdpa_xla to ~1e-6 f32."""
     if scale is None:
@@ -183,11 +196,11 @@ def set_attention_impl(impl: str):
     _IMPL = impl
 
 
-def flash_supported(q_shape, k_shape, block_q=256, block_k=512) -> bool:
+def flash_supported(q_shape, k_shape, block_q=512, block_k=1024) -> bool:
     Lq, D = q_shape[-2:]
     Lk = k_shape[-2]
-    return (Lq % min(block_q, Lq) == 0 and Lk % min(block_k, Lk) == 0
-            and D <= 256)
+    return (_pick_block(Lq, block_q) is not None
+            and _pick_block(Lk, block_k) is not None and D <= 256)
 
 
 def sdpa(q, k, v, scale=None):

@@ -47,8 +47,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--dtype", default="float32")
-    p.add_argument("--block_q", type=int, default=256)
-    p.add_argument("--block_k", type=int, default=512)
+    p.add_argument("--block_q", type=int, default=512)
+    p.add_argument("--block_k", type=int, default=1024)
     p.add_argument("--grad", action="store_true")
     args = p.parse_args()
     dtype = jnp.dtype(args.dtype)

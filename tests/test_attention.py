@@ -82,7 +82,8 @@ def test_dispatch():
         np.testing.assert_allclose(np.asarray(out),
                                    np.asarray(sdpa_xla(q, q, q)), atol=2e-6)
         with pytest.raises(ValueError):
-            bad = _rand((1, 1, 384, 16), seed=14)  # 384 % 256 != 0
+            # 1000 has no >=128 power-of-two-fraction block divisor
+            bad = _rand((1, 1, 1000, 16), seed=14)
             sdpa(bad, bad, bad)
     finally:
         set_attention_impl("auto")
@@ -90,5 +91,9 @@ def test_dispatch():
 
 def test_flash_supported_gate():
     assert flash_supported((1, 1, 4096, 40), (1, 1, 4096, 40))
-    assert not flash_supported((1, 1, 384, 40), (1, 1, 384, 40))
+    # short lengths run as a single full-length block
+    assert flash_supported((1, 1, 384, 40), (1, 1, 384, 40))
+    # ragged long lengths shrink the block to a dividing fraction
+    assert flash_supported((1, 1, 1536, 40), (1, 1, 1536, 40))
+    assert not flash_supported((1, 1, 1000, 40), (1, 1, 1000, 40))
     assert not flash_supported((1, 1, 4096, 300), (1, 1, 4096, 300))
