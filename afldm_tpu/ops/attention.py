@@ -58,8 +58,8 @@ def sdpa_xla(q, k, v, scale=None):
 _NEG_INF = -1e30  # rows are never fully masked; a finite sentinel avoids inf-inf
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                  scale):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
+                  acc_ref, *, scale):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -90,6 +90,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     @pl.when(kk == pl.num_programs(2) - 1)
     def _():
         o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+        # per-row logsumexp, the backward-pass residual (flash convention)
+        lse_ref[0] = m_ref[...] + jnp.log(l_ref[...])
 
 
 def _pick_block(L, block):
@@ -106,7 +108,8 @@ def _pick_block(L, block):
 
 
 def _flash_3d(q, k, v, scale, block_q, block_k):
-    """q: (B, Lq, D), k/v: (B, Lk, D) — B is the flattened batch*heads."""
+    """q: (B, Lq, D), k/v: (B, Lk, D) — B is the flattened batch*heads.
+    Returns (out, lse) with lse: (B, Lq, 1) f32."""
     B, Lq, D = q.shape
     Lk = k.shape[1]
     bq = _pick_block(Lq, block_q)
@@ -115,7 +118,8 @@ def _flash_3d(q, k, v, scale, block_q, block_k):
 
     return pl.pallas_call(
         partial(_flash_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, Lq, 1), jnp.float32)),
         grid=(B, Lq // bq, Lk // bk),
         interpret=_interpret(),
         in_specs=[
@@ -123,13 +127,114 @@ def _flash_3d(q, k, v, scale, block_q, block_k):
             pl.BlockSpec((1, bk, D), lambda b, i, kk: (b, kk, 0)),
             pl.BlockSpec((1, bk, D), lambda b, i, kk: (b, kk, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, kk: (b, i, 0)),
+        out_specs=(pl.BlockSpec((1, bq, D), lambda b, i, kk: (b, i, 0)),
+                   pl.BlockSpec((1, bq, 1), lambda b, i, kk: (b, i, 0))),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, D), jnp.float32),
         ],
     )(q, k, v)
+
+
+# -- flash backward: recompute p from the saved logsumexp, accumulate over
+# the opposite sequence axis in VMEM scratch (two kernels mirroring the
+# forward's sequential-innermost-grid structure).
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+                         dq_ref, acc_ref, *, scale):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    qb = q_ref[0]
+    kb = k_ref[0]
+    s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse_ref[0])                        # (bq, bk)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (bq, bk)
+    ds = p * (dp - dl_ref[0]) * scale
+    acc_ref[...] += jax.lax.dot_general(
+        ds.astype(k_ref.dtype), kb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (bq, D)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc, *, scale):
+    qq = pl.program_id(2)
+
+    @pl.when(qq == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    qb = q_ref[0]
+    kb = k_ref[0]
+    s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse_ref[0])                        # (bq, bk)
+    dob = do_ref[0]
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (bk, D)
+    dp = jax.lax.dot_general(dob, v_ref[0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - dl_ref[0]) * scale                  # (bq, bk)
+    dk_acc[...] += jax.lax.dot_general(
+        ds.astype(qb.dtype), qb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (bk, D)
+
+    @pl.when(qq == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_3d(q, k, v, do, lse, delta, scale, block_q, block_k):
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    bq = _pick_block(Lq, block_q)
+    bk = _pick_block(Lk, block_k)
+    assert bq is not None and bk is not None, (q.shape, k.shape)
+
+    qspec = pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0))
+    kspec = pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0))
+    rowspec = pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0))
+    dq = pl.pallas_call(
+        partial(_flash_bwd_dq_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
+        grid=(B, Lq // bq, Lk // bk),
+        interpret=_interpret(),
+        in_specs=[qspec, kspec, kspec, qspec, rowspec, rowspec],
+        out_specs=qspec,
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+    )(q, k, v, do, lse, delta)
+
+    # q is the innermost (sequential) axis here; k/v blocks are the
+    # revisited outputs
+    qspec2 = pl.BlockSpec((1, bq, D), lambda b, j, i: (b, i, 0))
+    kspec2 = pl.BlockSpec((1, bk, D), lambda b, j, i: (b, j, 0))
+    rowspec2 = pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0))
+    dk, dv = pl.pallas_call(
+        partial(_flash_bwd_dkv_kernel, scale=scale),
+        out_shape=(jax.ShapeDtypeStruct((B, Lk, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, Lk, D), v.dtype)),
+        grid=(B, Lk // bk, Lq // bq),
+        interpret=_interpret(),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, rowspec2, rowspec2],
+        out_specs=(kspec2, kspec2),
+        scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32),
+                        pltpu.VMEM((bk, D), jnp.float32)],
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -144,31 +249,39 @@ def sdpa_flash(q, k, v, scale=None, block_q=512, block_k=1024):
     q3 = q.reshape((-1, Lq, D))
     k3 = k.reshape((-1, Lk, D))
     v3 = v.reshape((-1, Lk, D))
-    out = _flash_3d(q3, k3, v3, scale, block_q, block_k)
+    out, _ = _flash_3d(q3, k3, v3, scale, block_q, block_k)
     return out.reshape(lead + (Lq, D))
 
 
 def _sdpa_fwd(q, k, v, scale, block_q, block_k):
-    return sdpa_flash(q, k, v, scale, block_q, block_k), (q, k, v)
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    lead = q.shape[:-2]
+    Lq, D = q.shape[-2:]
+    Lk = k.shape[-2]
+    q3 = q.reshape((-1, Lq, D))
+    k3 = k.reshape((-1, Lk, D))
+    v3 = v.reshape((-1, Lk, D))
+    out, lse = _flash_3d(q3, k3, v3, scale, block_q, block_k)
+    return out.reshape(lead + (Lq, D)), (q3, k3, v3, out, lse, lead)
 
 
 def _sdpa_bwd(scale, block_q, block_k, res, g):
-    # remat backward through the XLA einsum graph — no stored score matrix
-    q, k, v = res
+    # true flash backward: recompute p per tile from the saved logsumexp;
+    # no (Lq, Lk) matrix ever materializes in HBM
+    q3, k3, v3, out, lse, lead = res
     if scale is None:
-        scale = 1.0 / np.sqrt(q.shape[-1])
-    s = jnp.einsum("...qd,...kd->...qk", q, k,
-                   preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(s, axis=-1)                      # f32
-    gf = g.astype(jnp.float32)
-    dv = jnp.einsum("...qk,...qd->...kd", p, gf).astype(v.dtype)
-    dp = jnp.einsum("...qd,...kd->...qk", gf, v.astype(jnp.float32))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = (jnp.einsum("...qk,...kd->...qd", ds, k.astype(jnp.float32))
-          * scale).astype(q.dtype)
-    dk = (jnp.einsum("...qk,...qd->...kd", ds, q.astype(jnp.float32))
-          * scale).astype(k.dtype)
-    return dq, dk, dv
+        scale = 1.0 / np.sqrt(q3.shape[-1])
+    Lq, D = q3.shape[-2:]
+    Lk = k3.shape[-2]
+    do3 = g.reshape((-1, Lq, D))
+    # delta_i = sum_d dO_id * O_id (the rowsum term of dsoftmax)
+    delta = jnp.sum(do3.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    dq, dk, dv = _flash_bwd_3d(q3, k3, v3, do3, lse, delta, scale,
+                               block_q, block_k)
+    return (dq.reshape(lead + (Lq, D)), dk.reshape(lead + (Lk, D)),
+            dv.reshape(lead + (Lk, D)))
 
 
 sdpa_flash.defvjp(_sdpa_fwd, _sdpa_bwd)
