@@ -59,16 +59,22 @@ class ImageInterpolationPipeline:
                                else vae.config.scaling_factor)
         self._fns = {}
 
+    def _vae_fn(self, method):
+        # jit ONCE per pipeline: a fresh jax.jit(partial(...)) per call
+        # re-traces the whole AF-VAE every time (~90 s host-side at 512 px)
+        if method not in self._fns:
+            from functools import partial
+            self._fns[method] = jax.jit(partial(self.vae.apply,
+                                                method=method))
+        return self._fns[method]
+
     def encode(self, images):
-        from functools import partial
-        mean, _ = jax.jit(partial(self.vae.apply, method="encode"))(
-            self.vae_params, images)
+        mean, _ = self._vae_fn("encode")(self.vae_params, images)
         return mean * self.scaling_factor
 
     def decode(self, latents):
-        from functools import partial
-        return jax.jit(partial(self.vae.apply, method="decode"))(
-            self.vae_params, latents / self.scaling_factor)
+        return self._vae_fn("decode")(self.vae_params,
+                                      latents / self.scaling_factor)
 
     def _prompt(self, prompt, batch):
         if self.text_encoder is not None:
@@ -127,6 +133,9 @@ class ImageInterpolationPipeline:
         """Build per-alpha warped noises from endpoint-0's inverted latent
         (ref :556-599). One jitted program covers every alpha."""
         alphas = tuple(float(a) for a in alphas)
+        cache_key = ("warp_noise", noise_mode, noise_ratio, alphas)
+        if cache_key in self._fns:
+            return self._fns[cache_key](key, inv0, fwd_flow, fwd_occ)
 
         @jax.jit
         def build(key, inv0, fwd_flow, fwd_occ):
@@ -149,6 +158,7 @@ class ImageInterpolationPipeline:
                 noises.append(low * (1 - occ_low) + bg * occ_low)
             return jnp.concatenate(noises, axis=0)
 
+        self._fns[cache_key] = build
         return build(key, inv0, fwd_flow, fwd_occ)
 
     def __call__(self, img0, img1, num_frames: int = 17,
@@ -187,13 +197,11 @@ class ImageInterpolationPipeline:
                                  noise_mode=noise_mode)
         if use_slerp:
             a_col = jnp.asarray(alphas, jnp.float32)
-
-            @jax.jit
-            def blend(noises, inv1):
-                return slerp(noises, jnp.repeat(inv1, noises.shape[0], 0),
-                             a_col)
-
-            noises = blend(noises, inv1)
+            if "blend" not in self._fns:
+                self._fns["blend"] = jax.jit(
+                    lambda noises, inv1, a: slerp(
+                        noises, jnp.repeat(inv1, noises.shape[0], 0), a))
+            noises = self._fns["blend"](noises, inv1, a_col)
 
         # endpoint STORE passes (slots 0 and 1, ref :604-643)
         store = self._scan("store", num_inference_steps)

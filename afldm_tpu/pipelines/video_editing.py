@@ -49,15 +49,22 @@ class VideoEquivEditingPipeline:
         return (jnp.repeat(uncond, batch, axis=0),
                 jnp.repeat(cond, batch, axis=0))
 
+    def _vae_fn(self, method):
+        # jit ONCE per pipeline: a fresh jax.jit(partial(...)) per call
+        # re-traces the whole AF-VAE every time (~90 s host-side at 512 px)
+        if method not in self._fns:
+            self._fns[method] = jax.jit(partial(self.vae.apply,
+                                                method=method))
+        return self._fns[method]
+
     def encode(self, images, key=None):
-        mean, logvar = jax.jit(partial(self.vae.apply, method="encode"))(
-            self.vae_params, images)
+        mean, logvar = self._vae_fn("encode")(self.vae_params, images)
         z = gaussian_sample(key, mean, logvar) if key is not None else mean
         return z * self.scaling_factor
 
     def decode(self, latents):
-        return jax.jit(partial(self.vae.apply, method="decode"))(
-            self.vae_params, latents / self.scaling_factor)
+        return self._vae_fn("decode")(self.vae_params,
+                                      latents / self.scaling_factor)
 
     def get_timesteps(self, num_inference_steps, strength):
         """diffusers img2img truncation (ref :251-328)."""

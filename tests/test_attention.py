@@ -97,3 +97,20 @@ def test_flash_supported_gate():
     assert flash_supported((1, 1, 1536, 40), (1, 1, 1536, 40))
     assert not flash_supported((1, 1, 1000, 40), (1, 1, 1000, 40))
     assert not flash_supported((1, 1, 4096, 300), (1, 1, 4096, 300))
+
+
+def test_matches_torch_sdpa():
+    """Anchor to the reference's attention semantics: diffusers
+    AttnProcessor2_0 is torch.nn.functional.scaled_dot_product_attention
+    (cross_frame_attn.py:3,54)."""
+    import torch
+
+    q = _rand((2, 3, 256, 40), seed=21)
+    k = _rand((2, 3, 512, 40), seed=22)
+    v = _rand((2, 3, 512, 40), seed=23)
+    tq, tk, tv = (torch.from_numpy(np.asarray(t)) for t in (q, k, v))
+    ref = torch.nn.functional.scaled_dot_product_attention(tq, tk, tv)
+    for fn in (sdpa_xla, jax.jit(sdpa_flash)):
+        out = fn(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-6,
+                                   rtol=1e-4)
