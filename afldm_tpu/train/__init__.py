@@ -4,7 +4,7 @@ from .config import (load_training_config, BaseTrainingConfig,
 from .trainer import Trainer, TrainState, create_trainer, make_optimizer
 from .ema import ema_init, ema_update, EMAState
 from .checkpoint import (save_checkpoint, restore_checkpoint,
-                         latest_checkpoint)
+                         latest_checkpoint, wait_for_checkpoints)
 from .data import (SyntheticDataset, ImageFolderDataset, make_dataset,
                    epoch_batches)
 
@@ -14,6 +14,7 @@ __all__ = [
     "Trainer", "TrainState", "create_trainer", "make_optimizer",
     "ema_init", "ema_update", "EMAState",
     "save_checkpoint", "restore_checkpoint", "latest_checkpoint",
+    "wait_for_checkpoints",
     "SyntheticDataset", "ImageFolderDataset", "make_dataset",
     "epoch_batches",
 ]

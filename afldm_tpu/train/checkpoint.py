@@ -23,14 +23,42 @@ def latest_checkpoint(output_dir):
     return os.path.join(output_dir, ds[-1]) if ds else None
 
 
-def save_checkpoint(output_dir, step, state, total_limit=None):
-    """state: any pytree of arrays (params, opt_state, ema, step...)."""
+# One process-wide async checkpointer: Orbax's StandardCheckpointer writes
+# in a background thread (device arrays are snapshotted to host before
+# save() returns), so training proceeds during the filesystem write.
+# Orbax materializes the final `checkpoint-N` directory name only on
+# finalize (tmp-dir + rename), so _ckpt_dirs / latest_checkpoint /
+# rotation never observe a half-written checkpoint.
+_CKPTR = None
+
+
+def _ckptr():
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_checkpoints():
+    """Block until every scheduled async save has committed."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
+def save_checkpoint(output_dir, step, state, total_limit=None, block=True):
+    """state: any pytree of arrays (params, opt_state, ema, step...).
+
+    ``block=False`` schedules an async write and returns immediately —
+    the training loop's steady-state mode. Exit paths (SIGTERM save,
+    end-of-training) and anything that immediately restores must use
+    ``block=True`` or call ``wait_for_checkpoints()``."""
     path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{step}"))
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    c = _ckptr()
+    c.save(path, state, force=True)
+    if block:
+        c.wait_until_finished()
     if total_limit:
-        ds = _ckpt_dirs(output_dir)
+        ds = _ckpt_dirs(output_dir)   # committed checkpoints only
         while len(ds) > total_limit:
             victim = ds.pop(0)
             shutil.rmtree(os.path.join(output_dir, victim),
@@ -40,6 +68,7 @@ def save_checkpoint(output_dir, step, state, total_limit=None):
 
 def restore_checkpoint(path, target_state):
     """Restore into the structure/shardings of ``target_state``."""
+    wait_for_checkpoints()   # the path may still be committing
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), target_state)
 

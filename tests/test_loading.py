@@ -95,7 +95,8 @@ def test_cli_resume(tmp_path):
     def run(max_steps):
         return subprocess.run(
             [sys.executable, os.path.join(root, "train.py"),
-             str(tmp_path / "cfg.json"), "--max_steps", str(max_steps)],
+             str(tmp_path / "cfg.json"), "--max_steps", str(max_steps),
+             "--platform", "cpu"],
             capture_output=True, text=True, timeout=600, cwd=root, env=env)
 
     out1 = run(4)
@@ -106,3 +107,24 @@ def test_cli_resume(tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert "resuming from" in out2.stderr + out2.stdout
     assert (tmp_path / "o" / "checkpoint-6").exists()
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """block=False schedules a background write; wait_for_checkpoints (or
+    restore) commits it. Rotation only ever sees committed dirs."""
+    import jax.numpy as jnp
+    from afldm_tpu.train import (save_checkpoint, restore_checkpoint,
+                                 latest_checkpoint, wait_for_checkpoints)
+
+    state = {"w": jnp.arange(8, dtype=jnp.float32), "step": jnp.asarray(3)}
+    for step in (1, 2, 3):
+        save_checkpoint(str(tmp_path), step, state, total_limit=2,
+                        block=False)
+    wait_for_checkpoints()
+    # rotation (applied at schedule time over committed dirs) keeps <= 2 +
+    # any write that was still in flight; after the final wait the newest
+    # must exist and restore exactly
+    latest = latest_checkpoint(str(tmp_path))
+    assert latest.endswith("checkpoint-3")
+    got = restore_checkpoint(latest, state)
+    assert float(got["w"][5]) == 5.0 and int(got["step"]) == 3

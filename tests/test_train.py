@@ -191,7 +191,8 @@ def test_train_cli_smoke(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     out = subprocess.run(
         [sys.executable, os.path.join(root, "train.py"),
-         str(tmp_path / "cfg.json"), "--max_steps", "5"],
+         str(tmp_path / "cfg.json"), "--max_steps", "5",
+         "--platform", "cpu"],
         capture_output=True, text=True, timeout=600, cwd=root, env=env)
     assert out.returncode == 0, out.stderr[-2000:]
     ckpts = [d for d in os.listdir(tmp_path / "o")

@@ -28,9 +28,17 @@ def main():
                              "restore the latest checkpoint and continue; "
                              "abort after K consecutive restores. 0 "
                              "disables")
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=["cpu", "tpu"],
+                        help="force a jax backend (the JAX_PLATFORMS env "
+                             "var is consumed at interpreter startup on "
+                             "runtimes with a sitecustomize, so smoke "
+                             "runs need an in-process override)")
     args = parser.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     from afldm_tpu.parallel.mesh import initialize_distributed
 
     # multi-host bring-up before any backend touch (no-op single-process;
@@ -41,6 +49,7 @@ def main():
     from afldm_tpu.train import (load_training_config, create_trainer,
                                  make_dataset, epoch_batches,
                                  save_checkpoint, restore_checkpoint,
+                                 wait_for_checkpoints,
                                  latest_checkpoint)
     from afldm_tpu.train.checkpoint import resume_step_from_path
 
@@ -176,11 +185,14 @@ def main():
                 log.info("step %d %s", global_step,
                          {k: round(v, 5) for k, v in logs.items()})
             if global_step % base.checkpointing_steps == 0 and is_main:
+                # async: the write commits in the background while training
+                # continues; exit paths below block on wait/save
                 save_checkpoint(base.output_dir, global_step,
                                 jax.device_get(
                                     trainer.state_for_checkpoint()),
-                                total_limit=base.checkpoints_total_limit)
-                log.info("saved checkpoint-%d", global_step)
+                                total_limit=base.checkpoints_total_limit,
+                                block=False)
+                log.info("scheduled checkpoint-%d", global_step)
             if base.valid_steps and global_step % base.valid_steps == 0:
                 v = trainer.validate(global_step)
                 log.info("validation @%d: %s", global_step,
@@ -218,6 +230,7 @@ def main():
                         jax.device_get(trainer.state_for_checkpoint()),
                         total_limit=base.checkpoints_total_limit)
         trainer.save_pipeline(os.path.join(base.output_dir, "pipeline"))
+    wait_for_checkpoints()
     log.info("done at step %d", global_step)
 
 
