@@ -29,9 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _interpret():
-    return jax.default_backend() == "cpu"
+from .pallas_kernels import _interpret
 
 
 # ---------------------------------------------------------------------------
@@ -303,7 +301,12 @@ _IMPL = "auto"
 
 
 def set_attention_impl(impl: str):
-    """'auto' (flash where measured to win), 'xla', or 'flash' (forced)."""
+    """'auto' (flash where measured to win), 'xla', or 'flash' (forced).
+
+    Trace-time knob: it is read when a function is traced, so programs
+    already jitted (incl. the pipelines' cached ``_fns``) keep whatever
+    dispatch they were traced with — set it before building pipelines or
+    use fresh pipeline objects to re-trace."""
     global _IMPL
     assert impl in ("auto", "xla", "flash"), impl
     _IMPL = impl

@@ -368,7 +368,15 @@ def noise_image_random_translate(key, img, noise, max_offset_i, max_offset_j,
 def predict_flow(flow_fn, image1, image2, padding_factor=8):
     """Pad to a multiple of ``padding_factor``, run the flow model both
     ways, unpad, and recompute UnFlow occlusions on the unpadded flows
-    (ref flow_utils.py:181-193)."""
+    (ref flow_utils.py:181-193, whose first argument is likewise the
+    flow model). For the model-free LK estimator with signature
+    (img0, img1), use shift.simple_flow.predict_flow."""
+    if not callable(flow_fn):
+        raise TypeError(
+            "predict_flow(flow_fn, image1, image2) takes a bidirectional "
+            "flow callable first (reference signature, flow_utils.py:181); "
+            "for direct image-pair LK flow use "
+            "shift.simple_flow.predict_flow(img0, img1)")
     padder = InputPadder(image1.shape, padding_factor=padding_factor)
     im1, im2 = padder.pad(image1, image2)
     fwd, _, bwd, _ = flow_fn(im1, im2)
@@ -391,8 +399,10 @@ def get_warped_and_mask(flow_fn, image1, image2, image3=None,
     fwd_occ, bwd_occ = forward_backward_consistency_check(fwd, bwd, beta=1)
     if pixel_consistency:
         warped_image1 = flow_warp(image1, bwd)
+        # the reference thresholds at a quarter of its 0-255 pixel range
+        # (flow_utils.py:172); this repo's images are [-1, 1] (range 2.0)
         drift = (jnp.abs(image2 - warped_image1).mean(
-            axis=-1, keepdims=True) > 255 * 0.25).astype(bwd_occ.dtype)
+            axis=-1, keepdims=True) > 0.25 * 2.0).astype(bwd_occ.dtype)
         bwd_occ = jnp.clip(bwd_occ + drift, 0, 1)
     return flow_warp(image3, bwd), bwd_occ, bwd
 

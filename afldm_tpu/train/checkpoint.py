@@ -45,21 +45,30 @@ def wait_for_checkpoints():
         _CKPTR.wait_until_finished()
 
 
-def save_checkpoint(output_dir, step, state, total_limit=None, block=True):
+def save_checkpoint(output_dir, step, state, total_limit=None, block=True,
+                    fresh=False):
     """state: any pytree of arrays (params, opt_state, ema, step...).
 
     ``block=False`` schedules an async write and returns immediately —
     the training loop's steady-state mode. Exit paths (SIGTERM save,
     end-of-training) and anything that immediately restores must use
-    ``block=True`` or call ``wait_for_checkpoints()``."""
+    ``block=True`` or call ``wait_for_checkpoints()``.
+
+    ``fresh=True`` uses a private checkpointer instead of the shared
+    process-wide one — required from signal handlers, which may interrupt
+    the main thread mid-``save()`` on the shared object."""
     path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{step}"))
-    c = _ckptr()
+    c = ocp.StandardCheckpointer() if fresh else _ckptr()
     c.save(path, state, force=True)
     if block:
         c.wait_until_finished()
     if total_limit:
+        # async mode: the just-scheduled save is not in _ckpt_dirs yet
+        # (Orbax commits via tmp-dir + rename), so budget one slot for it —
+        # steady state is exactly `total_limit` dirs after each commit
+        limit = total_limit if block else max(total_limit - 1, 1)
         ds = _ckpt_dirs(output_dir)   # committed checkpoints only
-        while len(ds) > total_limit:
+        while len(ds) > limit:
             victim = ds.pop(0)
             shutil.rmtree(os.path.join(output_dir, victim),
                           ignore_errors=True)

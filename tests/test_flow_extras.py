@@ -150,10 +150,15 @@ def test_get_warped_and_mask_integer_shift(rng):
     np.testing.assert_allclose(np.asarray(bwd[..., 1]), -2.0)
     ref = flow_warp(img1, bwd)
     np.testing.assert_allclose(np.asarray(warped), np.asarray(ref))
-    # pixel-consistency flag only ever grows the occlusion mask
+    # pixel-consistency flag only ever grows the occlusion mask, and a
+    # photometrically inconsistent pair (mean |diff| > quarter of the
+    # [-1, 1] range) must actually trigger it
     _, occ2, _ = get_warped_and_mask(fn, img1, img2,
                                      pixel_consistency=True)
     assert float((occ2 - bwd_occ).min()) >= 0.0
+    _, occ3, _ = get_warped_and_mask(fn, img1, img2 + 1.5,
+                                     pixel_consistency=True)
+    np.testing.assert_allclose(np.asarray(occ3), 1.0)
 
 
 def test_alpha_warp_moves_mass(rng):

@@ -119,9 +119,12 @@ def main():
     def _save_and_exit(signum, frame):
         log.warning("signal %d: writing checkpoint-%d before exit", signum,
                     global_step)
+        # fresh=True: the handler may have interrupted the main thread
+        # inside the shared checkpointer's save(); use a private one
         save_checkpoint(base.output_dir, global_step,
                         jax.device_get(trainer.state_for_checkpoint()),
-                        total_limit=base.checkpoints_total_limit)
+                        total_limit=base.checkpoints_total_limit,
+                        fresh=True)
         raise SystemExit(128 + signum)
 
     signal.signal(signal.SIGTERM, _save_and_exit)
