@@ -91,3 +91,35 @@ def print_module_summary(params, max_depth=2):
     total = walk(params, [], 0)
     print(f"{'TOTAL':60s} {total:>12,d}")
     return total
+
+
+def check_replica_consistency(tree, mesh, name="params"):
+    """JAX analog of the reference's ``check_ddp_consistency``
+    (torch_utils/misc.py:197): assert that nominally-replicated arrays
+    are bit-identical across the data axis of ``mesh``. Under DDP,
+    replicas can silently drift after a collective bug or a non-
+    deterministic op; under jit + replicated shardings XLA keeps one
+    logical value, so this guards the hand-rolled paths (per-host data
+    loading, manual device_put) where drift can still be introduced.
+
+    Returns the max |replica - replica0| over the tree (0.0 when
+    consistent); raises AssertionError on divergence.
+    """
+    worst = 0.0
+    worst_path = None
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        if not hasattr(leaf, "addressable_shards"):
+            continue
+        shards = leaf.addressable_shards
+        if len(shards) < 2:
+            continue
+        base = np.asarray(shards[0].data)
+        for s in shards[1:]:
+            if s.data.shape != base.shape:   # genuinely sharded, not a replica
+                break
+            d = float(np.max(np.abs(np.asarray(s.data) - base)))
+            if d > worst:
+                worst, worst_path = d, jax.tree_util.keystr(path)
+    assert worst == 0.0, (
+        f"{name} replicas diverged: max |delta| = {worst} at {worst_path}")
+    return worst

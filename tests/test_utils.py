@@ -80,3 +80,28 @@ def test_feature_stats_max_items(rng):
     fs.append(rng.standard_normal((7, 4)))
     fs.append(rng.standard_normal((7, 4)))
     assert fs.is_full() and fs.get_all().shape == (10, 4)
+
+
+def test_check_replica_consistency():
+    """Replicated arrays pass; per-device divergence raises (the JAX
+    analog of check_ddp_consistency, ref torch_utils/misc.py:197)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from afldm_tpu.parallel.mesh import create_mesh
+    from afldm_tpu.utils import check_replica_consistency
+
+    mesh = create_mesh(data=len(jax.devices()))
+    rep = NamedSharding(mesh, P())
+    tree = {"w": jax.device_put(jnp.arange(8, dtype=jnp.float32), rep)}
+    assert check_replica_consistency(tree, mesh) == 0.0
+
+    # hand-build a "replicated" array whose shards differ
+    shards = [jax.device_put(jnp.full((8,), float(i)), d)
+              for i, d in enumerate(mesh.devices.flat)]
+    bad = jax.make_array_from_single_device_arrays(
+        (8,), rep, shards)
+    with pytest.raises(AssertionError):
+        check_replica_consistency({"w": bad}, mesh)
