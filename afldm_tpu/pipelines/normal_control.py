@@ -132,7 +132,14 @@ class NormControlPipeline:
         ehs = self.prompt_embeds(conds.shape[0], prompt)
         preds = yoso(self.unet_params, self.controlnet_params, lats, conds,
                      ehs)
-        normals = decode(self.vae_params, preds * masks)
+        # decode in chunks: the alias-free VAE's 2x-oversampled
+        # intermediates for all (1 + num_shift_steps) frames at once
+        # exhaust HBM at 512 px (17 x 1024^2 x C maps)
+        scaled = preds * masks
+        chunk = 4
+        normals = jnp.concatenate(
+            [decode(self.vae_params, scaled[i:i + chunk])
+             for i in range(0, scaled.shape[0], chunk)], axis=0)
 
         # masked PSNR of each shifted output vs pixel-shifted base output
         @jax.jit

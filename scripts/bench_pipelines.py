@@ -6,6 +6,10 @@
 - image interpolation (image_interpolation.sh workload): M interpolated
   frames, DDIM inversion of both endpoints + joint CFA-interp denoise,
   LK optical flow.
+- I2SB latent SR (shift_ldm_sr.sh workload): 4x bicubic degrade +
+  ODE bridge denoise, FFHQ-size models at 256 px.
+- normal estimation (shift_normal_estimation.sh workload): YOSO
+  single-step ControlNet over the full 16-shift sweep in one batch.
 
 Reports frames/s end-to-end (encode -> denoise -> decode). First compile
 of each phase graph is slow through the remote-compile service; the
@@ -32,6 +36,8 @@ def main():
     p.add_argument("--interp_frames", type=int, default=5)
     p.add_argument("--skip_video", action="store_true")
     p.add_argument("--skip_interp", action="store_true")
+    p.add_argument("--skip_sr", action="store_true")
+    p.add_argument("--skip_normal", action="store_true")
     p.add_argument("--attn", default="auto", choices=["auto", "xla"])
     args = p.parse_args()
 
@@ -123,6 +129,63 @@ def main():
             "frames_per_s": round(args.interp_frames / dt, 3),
             "finite": bool(np.isfinite(out).all())}
         print("interp:", results["interpolation"], file=sys.stderr)
+
+    if not args.skip_sr:
+        from afldm_tpu.models import UNet2DModel, UNet2DConfig
+        from afldm_tpu.schedulers import I2SBScheduler
+        from afldm_tpu.pipelines.i2sb import I2SBLDMPipeline
+        from afldm_tpu.ops.superresolution import build_sr4x
+
+        i2sb_cfg = json.load(open(os.path.join(
+            root, "configs/sr/i2sb_scheduler.json")))
+        ffhq_unet = UNet2DModel(UNet2DConfig(alias_free=True))
+        k3, k4 = jax.random.split(jax.random.PRNGKey(1))
+        up2 = jax.jit(ffhq_unet.init)(k3, jnp.zeros((1, 32, 32, 4)),
+                                      jnp.zeros((1,), jnp.int32))
+        vae256 = AutoencoderKL(vcfg)
+        vp2 = jax.jit(vae256.init)(k4, jnp.zeros((1, 256, 256, 3)))
+        sr_pipe = I2SBLDMPipeline(vae256, vp2, ffhq_unet, up2,
+                                  I2SBScheduler.from_config(i2sb_cfg))
+        degrade = build_sr4x("bicubic", 256)
+        hq = jnp.asarray(rng.standard_normal((1, 256, 256, 3)) * 0.3,
+                         jnp.float32)
+        lq = jax.jit(degrade)(hq)
+        t0 = time.perf_counter()
+        out = np.asarray(sr_pipe(lq, num_inference_steps=args.steps))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = np.asarray(sr_pipe(lq, num_inference_steps=args.steps))
+        dt = time.perf_counter() - t0
+        results["i2sb_sr"] = {
+            "first_call_s": round(compile_s, 1), "seconds": round(dt, 3),
+            "images_per_s": round(1 / dt, 3),
+            "finite": bool(np.isfinite(out).all())}
+        print("sr:", results["i2sb_sr"], file=sys.stderr)
+
+    if not args.skip_normal:
+        from afldm_tpu.models import ControlNetModel, ControlNetConfig
+        from afldm_tpu.pipelines.normal_control import NormControlPipeline
+
+        cn = ControlNetModel(ControlNetConfig.from_unet_config(ucfg))
+        cnp = jax.jit(cn.init)(jax.random.PRNGKey(2), lat,
+                               jnp.zeros((1,), jnp.int32), ehs, lat)
+        norm_pipe = NormControlPipeline(
+            vae, vp, unet, up, cn, cnp,
+            DDIMScheduler(num_train_timesteps=1000))
+        img = jnp.asarray(rng.standard_normal(
+            (1, args.resolution, args.resolution, 3)) * 0.3, jnp.float32)
+        t0 = time.perf_counter()
+        res = norm_pipe(img, num_shift_steps=16)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = norm_pipe(img, num_shift_steps=16)
+        dt = time.perf_counter() - t0
+        results["normal_yoso_sweep"] = {
+            "shift_steps": 16,
+            "first_call_s": round(compile_s, 1), "seconds": round(dt, 3),
+            "estimates_per_s": round(17 / dt, 3),
+            "finite": bool(np.isfinite(res.mean_psnr))}
+        print("normal:", results["normal_yoso_sweep"], file=sys.stderr)
 
     print(json.dumps(results))
 
