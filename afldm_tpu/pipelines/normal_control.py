@@ -112,36 +112,55 @@ class NormControlPipeline:
 
         # base + all shifts in one batch (shift the cond latent with the
         # ideal shifter; the starting latent shifts identically — zeros are
-        # shift-invariant, noise is shifted for parity with the reference)
-        @jax.jit
-        def prep(cond, lat):
-            cache_c = shifter.precompute(cond)
-            cache_l = shifter.precompute(lat)
-            conds, lats, masks = [cond], [lat], [jnp.ones_like(cond)]
-            for k in range(1, num_shift_steps + 1):
-                tj = k / ratio
-                c, m = shifter.shift(cond, 0.0, tj, cache=cache_c)
-                l, _ = shifter.shift(lat, 0.0, tj, cache=cache_l)
-                conds.append(c)
-                lats.append(l)
-                masks.append(m)
-            return (jnp.concatenate(conds, 0), jnp.concatenate(lats, 0),
-                    jnp.concatenate(masks, 0))
+        # shift-invariant, noise is shifted for parity with the reference).
+        # Jitted ONCE per (pipeline, num_shift_steps) — see CLAUDE.md on
+        # per-call jit closures.
+        pkey = ("prep", num_shift_steps)
+        if pkey not in self._fns:
+            @jax.jit
+            def prep(cond, lat):
+                cache_c = shifter.precompute(cond)
+                cache_l = shifter.precompute(lat)
+                conds, lats, masks = [cond], [lat], [jnp.ones_like(cond)]
+                for k in range(1, num_shift_steps + 1):
+                    tj = k / ratio
+                    c, m = shifter.shift(cond, 0.0, tj, cache=cache_c)
+                    l, _ = shifter.shift(lat, 0.0, tj, cache=cache_l)
+                    conds.append(c)
+                    lats.append(l)
+                    masks.append(m)
+                return (jnp.concatenate(conds, 0), jnp.concatenate(lats, 0),
+                        jnp.concatenate(masks, 0))
+            self._fns[pkey] = prep
 
-        conds, lats, masks = prep(cond0, lat0)
+        conds, lats, masks = self._fns[pkey](cond0, lat0)
         ehs = self.prompt_embeds(conds.shape[0], prompt)
         preds = yoso(self.unet_params, self.controlnet_params, lats, conds,
                      ehs)
         # decode in chunks: the alias-free VAE's 2x-oversampled
         # intermediates for all (1 + num_shift_steps) frames at once
-        # exhaust HBM at 512 px (17 x 1024^2 x C maps)
+        # exhaust HBM at 512 px (17 x 1024^2 x C maps). Pad to a chunk
+        # multiple so the jitted decode compiles ONE batch shape.
         scaled = preds * masks
         chunk = 4
+        total = scaled.shape[0]
+        pad = (-total) % chunk
+        if pad:
+            scaled = jnp.concatenate(
+                [scaled, jnp.zeros((pad,) + scaled.shape[1:],
+                                   scaled.dtype)], axis=0)
         normals = jnp.concatenate(
             [decode(self.vae_params, scaled[i:i + chunk])
-             for i in range(0, scaled.shape[0], chunk)], axis=0)
+             for i in range(0, scaled.shape[0], chunk)], axis=0)[:total]
 
         # masked PSNR of each shifted output vs pixel-shifted base output
+        # (jitted once per shift count)
+        skey = ("score", num_shift_steps)
+        if skey in self._fns:
+            psnrs = self._fns[skey](normals)
+            return NormalEstimationResult(normals=np.asarray(normals),
+                                          psnrs=np.asarray(psnrs))
+
         @jax.jit
         def score(normals):
             base = normals[0:1]
@@ -151,6 +170,7 @@ class NormControlPipeline:
                 psnrs.append(mask_psnr(normals[k:k + 1], gt, m))
             return jnp.stack(psnrs)
 
+        self._fns[skey] = score
         psnrs = score(normals)
         return NormalEstimationResult(normals=np.asarray(normals),
                                       psnrs=np.asarray(psnrs))

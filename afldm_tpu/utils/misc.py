@@ -102,24 +102,36 @@ def check_replica_consistency(tree, mesh, name="params"):
     logical value, so this guards the hand-rolled paths (per-host data
     loading, manual device_put) where drift can still be introduced.
 
+    Only fully-replicated leaves are checked (a sharded leaf's shards
+    legitimately differ — ``leaf.sharding.is_fully_replicated`` is the
+    discriminator, not shard shapes, which even sharding can also
+    equalize). NaN divergence counts as divergence (reported as inf).
+
     Returns the max |replica - replica0| over the tree (0.0 when
     consistent); raises AssertionError on divergence.
     """
+    del mesh  # the leaves' own shardings carry the replication info
     worst = 0.0
     worst_path = None
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        if not hasattr(leaf, "addressable_shards"):
+        sharding = getattr(leaf, "sharding", None)
+        if sharding is None or not sharding.is_fully_replicated:
             continue
         shards = leaf.addressable_shards
         if len(shards) < 2:
             continue
         base = np.asarray(shards[0].data)
         for s in shards[1:]:
-            if s.data.shape != base.shape:   # genuinely sharded, not a replica
-                break
-            d = float(np.max(np.abs(np.asarray(s.data) - base)))
-            if d > worst:
-                worst, worst_path = d, jax.tree_util.keystr(path)
+            a = np.asarray(s.data)
+            if (np.array_equal(a, base, equal_nan=True)
+                    if np.issubdtype(base.dtype, np.floating)
+                    else np.array_equal(a, base)):
+                continue   # identical (incl. matching NaN patterns)
+            d = float(np.max(np.abs(a - base)))
+            if np.isnan(d):
+                d = float("inf")
+            if d >= worst:
+                worst, worst_path = max(d, worst), jax.tree_util.keystr(path)
     assert worst == 0.0, (
         f"{name} replicas diverged: max |delta| = {worst} at {worst_path}")
     return worst

@@ -139,12 +139,12 @@ def main():
         i2sb_cfg = json.load(open(os.path.join(
             root, "configs/sr/i2sb_scheduler.json")))
         ffhq_unet = UNet2DModel(UNet2DConfig(alias_free=True))
-        k3, k4 = jax.random.split(jax.random.PRNGKey(1))
+        k3 = jax.random.PRNGKey(1)
         up2 = jax.jit(ffhq_unet.init)(k3, jnp.zeros((1, 32, 32, 4)),
                                       jnp.zeros((1,), jnp.int32))
-        vae256 = AutoencoderKL(vcfg)
-        vp2 = jax.jit(vae256.init)(k4, jnp.zeros((1, 256, 256, 3)))
-        sr_pipe = I2SBLDMPipeline(vae256, vp2, ffhq_unet, up2,
+        # the VAE is fully convolutional — reuse the 512px-initialized
+        # params at 256px instead of a second identical init
+        sr_pipe = I2SBLDMPipeline(vae, vp, ffhq_unet, up2,
                                   I2SBScheduler.from_config(i2sb_cfg))
         degrade = build_sr4x("bicubic", 256)
         hq = jnp.asarray(rng.standard_normal((1, 256, 256, 3)) * 0.3,

@@ -98,6 +98,13 @@ def test_check_replica_consistency():
     tree = {"w": jax.device_put(jnp.arange(8, dtype=jnp.float32), rep)}
     assert check_replica_consistency(tree, mesh) == 0.0
 
+    # a genuinely SHARDED leaf (data axis) has different shards by design
+    # and must be skipped, even though every shard has the same shape
+    n = len(jax.devices())
+    sharded = jax.device_put(jnp.arange(8 * n, dtype=jnp.float32),
+                             NamedSharding(mesh, P("data")))
+    assert check_replica_consistency({"w": sharded}, mesh) == 0.0
+
     # hand-build a "replicated" array whose shards differ
     shards = [jax.device_put(jnp.full((8,), float(i)), d)
               for i, d in enumerate(mesh.devices.flat)]
@@ -105,3 +112,12 @@ def test_check_replica_consistency():
         (8,), rep, shards)
     with pytest.raises(AssertionError):
         check_replica_consistency({"w": bad}, mesh)
+
+    # NaN drift on one replica is divergence, not a silent pass
+    shards = [jax.device_put(
+        jnp.zeros((8,)).at[0].set(jnp.nan if i == 1 else 0.0), d)
+        for i, d in enumerate(mesh.devices.flat)]
+    nan_bad = jax.make_array_from_single_device_arrays((8,), rep, shards)
+    if n > 1:
+        with pytest.raises(AssertionError):
+            check_replica_consistency({"w": nan_bad}, mesh)
