@@ -171,29 +171,30 @@ def measure_sd(batch=2, repeats=3, dtype=None, attn_impl="auto"):
     if dtype is not None:
         params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
     set_attention_impl(attn_impl)
+    n_steps = 50   # the real workload shape, as in the headline bench
     try:
         @jax.jit
-        def denoise10(params, x):
+        def denoise(params, x):
             def body(carry, t):
                 eps, _ = unet.apply(params, carry, t, ehs)
                 return carry - 0.01 * eps, None
             out = jax.lax.scan(body, x,
-                               jnp.arange(10, dtype=jnp.int32))[0]
+                               jnp.arange(n_steps, dtype=jnp.int32))[0]
             return out, out.sum()
 
         x = jax.random.normal(jax.random.PRNGKey(1), (batch, 64, 64, 4),
                               jnp.float32)
-        _, s = denoise10(params, x)
+        _, s = denoise(params, x)
         float(s)
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            _, s = denoise10(params, x)
+            _, s = denoise(params, x)
             float(s)
             best = min(best, time.perf_counter() - t0)
     finally:
         set_attention_impl("auto")
-    return 10 / best
+    return n_steps / best
 
 
 def cpu_baseline():
