@@ -80,27 +80,38 @@ class VideoEquivEditingPipeline:
             return self._fns[key]
         unet, sched = self.unet, self.scheduler
 
+        def cfg(eps, gs, gr):
+            # CFG combine + optional rescale_noise_cfg (ref
+            # video_equiv_editing_pipeline.py:52-65, "Common Diffusion
+            # Noise Schedules..." sec 3.4): match the guided noise's
+            # per-sample std to the text-conditioned prediction's
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            g = eps_u + gs * (eps_c - eps_u)
+            axes = tuple(range(1, g.ndim))
+            std_c = jnp.std(eps_c, axis=axes, keepdims=True)
+            std_g = jnp.std(g, axis=axes, keepdims=True)
+            rescaled = g * (std_c / (std_g + 1e-8))
+            return gr * rescaled + (1 - gr) * g
+
         if mode == "store":
             @jax.jit
-            def run(params, latents, ts, ts_prev, ehs, gs):
+            def run(params, latents, ts, ts_prev, ehs, gs, gr=0.0):
                 def body(carry, x):
                     t, pt = x
                     inp = jnp.concatenate([carry, carry], axis=0)
                     eps, kv = unet.apply(params, inp, t, ehs)
-                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                    eps = eps_u + gs * (eps_c - eps_u)
+                    eps = cfg(eps, gs, gr)
                     nxt, _ = sched.step(eps, t, carry, prev_timestep=pt)
                     return nxt, kv
                 return jax.lax.scan(body, latents, (ts, ts_prev))
         elif mode == "load":
             @jax.jit
-            def run(params, latents, ts, ts_prev, ehs, gs, kv_traj):
+            def run(params, latents, ts, ts_prev, ehs, gs, kv_traj, gr=0.0):
                 def body(carry, x):
                     t, pt, kv = x
                     inp = jnp.concatenate([carry, carry], axis=0)
                     eps, _ = unet.apply(params, inp, t, ehs, kv_in=kv)
-                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                    eps = eps_u + gs * (eps_c - eps_u)
+                    eps = cfg(eps, gs, gr)
                     nxt, _ = sched.step(eps, t, carry, prev_timestep=pt)
                     return nxt, None
                 return jax.lax.scan(body, latents, (ts, ts_prev, kv_traj))
@@ -132,6 +143,7 @@ class VideoEquivEditingPipeline:
     def __call__(self, frames, prompt, negative_prompt="",
                  inversion_prompt="", strength: float = 0.7,
                  num_inference_steps: int = 50, guidance_scale: float = 7.5,
+                 guidance_rescale: float = 0.0,
                  use_inversion: bool = False, key=None,
                  output_type: str = "np"):
         n_frames = frames.shape[0]
@@ -171,7 +183,8 @@ class VideoEquivEditingPipeline:
         ehs1 = jnp.concatenate([uncond1, cond1], axis=0)
         store = self._cfg_scan(n_steps, "store")
         _, kv_traj = store(self.unet_params, init_latents[0:1], ts, ts_prev,
-                           ehs1, jnp.float32(guidance_scale))
+                           ehs1, jnp.float32(guidance_scale),
+                           jnp.float32(guidance_rescale))
 
         # joint denoise of all frames with per-step KV LOAD + CFG
         uncondN, condN = self.encode_prompt(prompt, negative_prompt,
@@ -179,7 +192,8 @@ class VideoEquivEditingPipeline:
         ehsN = jnp.concatenate([uncondN, condN], axis=0)
         load = self._cfg_scan(n_steps, "load")
         out_latents, _ = load(self.unet_params, init_latents, ts, ts_prev,
-                              ehsN, jnp.float32(guidance_scale), kv_traj)
+                              ehsN, jnp.float32(guidance_scale), kv_traj,
+                              jnp.float32(guidance_rescale))
 
         images = self.decode(out_latents)
         if output_type == "np":

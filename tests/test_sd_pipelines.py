@@ -106,6 +106,29 @@ def test_video_editing_pipeline(sd_parts):
                guidance_scale=2.0, key=jax.random.PRNGKey(6))
     assert out.shape == (3, 64, 64, 3)
     assert np.isfinite(out).all()
+    # guidance_rescale (ref rescale_noise_cfg, :52-65): 0.0 is the
+    # baseline; a nonzero value changes the output and stays finite.
+    # Needs cond != uncond embeddings (with the zero encoder the CFG
+    # direction is zero and the rescale is a mathematical no-op).
+    class _DistinctTextEncoder:
+        def encode(self, prompts):
+            dim = unet.config.cross_attention_dim
+            return jnp.stack([
+                jax.random.normal(
+                    jax.random.PRNGKey(len(p) + 1), (77, dim)) * 0.1
+                for p in prompts])
+
+    pipe2 = VideoEquivEditingPipeline(vae, vp, unet, up,
+                                      DDIMScheduler(**DDIM_CFG),
+                                      text_encoder=_DistinctTextEncoder())
+    out0 = pipe2(frames, "a prompt", strength=0.5, num_inference_steps=4,
+                 guidance_scale=2.0, guidance_rescale=0.0,
+                 key=jax.random.PRNGKey(6))
+    out_r = pipe2(frames, "a prompt", strength=0.5, num_inference_steps=4,
+                  guidance_scale=2.0, guidance_rescale=0.7,
+                  key=jax.random.PRNGKey(6))
+    assert np.isfinite(out_r).all()
+    assert float(np.abs(out_r - out0).max()) > 1e-6
 
 
 def test_video_editing_inversion_path(sd_parts):
