@@ -315,6 +315,10 @@ def set_attention_impl(impl: str):
 def flash_supported(q_shape, k_shape, block_q=512, block_k=1024) -> bool:
     Lq, D = q_shape[-2:]
     Lk = k_shape[-2]
+    if not _interpret() and (Lq % 8 or Lk % 8):
+        # sublane-unaligned block shapes (e.g. Lq=77 as one full-length
+        # block) are not guaranteed to compile on the Mosaic TPU backend
+        return False
     return (_pick_block(Lq, block_q) is not None
             and _pick_block(Lk, block_k) is not None and D <= 256)
 

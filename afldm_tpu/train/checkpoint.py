@@ -52,7 +52,10 @@ def save_checkpoint(output_dir, step, state, total_limit=None, block=True,
     ``block=False`` schedules an async write and returns immediately —
     the training loop's steady-state mode. Exit paths (SIGTERM save,
     end-of-training) and anything that immediately restores must use
-    ``block=True`` or call ``wait_for_checkpoints()``.
+    ``block=True`` or call ``wait_for_checkpoints()``. Note async mode can
+    hold ``total_limit + 1`` committed dirs transiently (exactly 2 for
+    total_limit=1) until the next blocking save prunes; the normal exit
+    path always ends with a blocking save, which restores the cap.
 
     ``fresh=True`` uses a private checkpointer instead of the shared
     process-wide one — required from signal handlers, which may interrupt

@@ -105,13 +105,15 @@ def test_check_replica_consistency():
                              NamedSharding(mesh, P("data")))
     assert check_replica_consistency({"w": sharded}, mesh) == 0.0
 
-    # hand-build a "replicated" array whose shards differ
-    shards = [jax.device_put(jnp.full((8,), float(i)), d)
-              for i, d in enumerate(mesh.devices.flat)]
-    bad = jax.make_array_from_single_device_arrays(
-        (8,), rep, shards)
-    with pytest.raises(AssertionError):
-        check_replica_consistency({"w": bad}, mesh)
+    # hand-build a "replicated" array whose shards differ (needs >= 2
+    # devices for a second, divergent shard to exist at all)
+    if n > 1:
+        shards = [jax.device_put(jnp.full((8,), float(i)), d)
+                  for i, d in enumerate(mesh.devices.flat)]
+        bad = jax.make_array_from_single_device_arrays(
+            (8,), rep, shards)
+        with pytest.raises(AssertionError):
+            check_replica_consistency({"w": bad}, mesh)
 
     # NaN drift on one replica is divergence, not a silent pass
     shards = [jax.device_put(

@@ -119,6 +119,11 @@ def main():
     def _save_and_exit(signum, frame):
         log.warning("signal %d: writing checkpoint-%d before exit", signum,
                     global_step)
+        # join the shared checkpointer's background commit thread first —
+        # otherwise two writers may rename tmp dirs onto the same
+        # checkpoint-{step} destination (ADVICE r2). Safe from the handler:
+        # it joins the commit thread, not the interrupted main thread.
+        wait_for_checkpoints()
         # fresh=True: the handler may have interrupted the main thread
         # inside the shared checkpointer's save(); use a private one
         save_checkpoint(base.output_dir, global_step,
