@@ -74,11 +74,15 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_planes = x.shape[-1]
+        # the 3x3 convs are bias-free upstream (bias=False) — the following
+        # InstanceNorm would cancel a bias anyway, but the checkpoint key
+        # surface must match exactly
         h = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding=((1, 1), (1, 1)), name="conv1")(x)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    name="conv1")(x)
         h = jax.nn.relu(_instance_norm(h))
         h = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
-                    name="conv2")(h)
+                    use_bias=False, name="conv2")(h)
         h = jax.nn.relu(_instance_norm(h))
         if self.stride != 1 or in_planes != self.planes:
             x = nn.Conv(self.planes, (1, 1),
@@ -95,7 +99,7 @@ class CNNEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    name="conv1")(x)
+                    use_bias=False, name="conv1")(x)
         h = jax.nn.relu(_instance_norm(h))
         for i, (planes, stride) in enumerate(
                 ((64, 1), (96, 2), (128, 2)), start=1):
@@ -183,9 +187,11 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, source, target, shape=None, attn_splits=1,
                  shift_mask=None):
-        q = nn.Dense(self.d_model, use_bias=False, name="q_proj")(source)
-        k = nn.Dense(self.d_model, use_bias=False, name="k_proj")(target)
-        v = nn.Dense(self.d_model, use_bias=False, name="v_proj")(target)
+        # q/k/v/merge are plain nn.Linear upstream (bias=True); only the
+        # FFN linears are bias-free
+        q = nn.Dense(self.d_model, name="q_proj")(source)
+        k = nn.Dense(self.d_model, name="k_proj")(target)
+        v = nn.Dense(self.d_model, name="v_proj")(target)
 
         if attn_splits > 1:  # swin window attention
             N, L, C = q.shape
@@ -213,7 +219,7 @@ class TransformerLayer(nn.Module):
         else:
             msg = _attend(q, k, v)
 
-        msg = nn.Dense(self.d_model, use_bias=False, name="merge")(msg)
+        msg = nn.Dense(self.d_model, name="merge")(msg)
         msg = nn.LayerNorm(epsilon=1e-5, name="norm1")(msg)
         if not self.no_ffn:
             h = jnp.concatenate([source, msg], axis=-1)
@@ -300,7 +306,11 @@ class SelfAttnPropagation(nn.Module):
         N, H, W, C = feature0.shape
         f = feature0.reshape(N, H * W, C)
         q = nn.Dense(self.in_channels, name="q_proj")(f)
-        k = nn.Dense(self.in_channels, name="k_proj")(f)
+        # upstream quirk kept verbatim: k_proj is applied to the ALREADY
+        # q-projected features ("key = self.k_proj(query)" — the author's
+        # comment says it was left unfixed to avoid retraining), so the
+        # published checkpoint's k_proj weights expect q-space inputs
+        k = nn.Dense(self.in_channels, name="k_proj")(q)
         scores = jnp.einsum("nlc,nmc->nlm", q, k,
                             preferred_element_type=jnp.float32) / np.sqrt(C)
         prob = jax.nn.softmax(scores, axis=-1)

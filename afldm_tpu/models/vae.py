@@ -67,12 +67,17 @@ class Encoder(nn.Module):
     config: AutoencoderKLConfig
     dtype: jnp.dtype = jnp.float32
     double_z: bool = True  # False for the VQ variant (models/vq.py)
+    remat: bool = False  # rematerialize each resnet block in the backward
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
         kv = KVHelper()  # VAE attention never uses CFA
         eps = 1e-6
+        # nn.remat keeps param names identical, so checkpoints are
+        # interchangeable between remat and non-remat instances
+        Block = (nn.remat(ResnetBlock2D, static_argnums=(3,))
+                 if self.remat else ResnetBlock2D)
 
         filtered = [cfg.alias_free and f for f in cfg.down_filtered_act]
         af_resample = list(reversed(
@@ -85,7 +90,7 @@ class Encoder(nn.Module):
         for i, out_ch in enumerate(cfg.block_out_channels):
             is_final = i == len(cfg.block_out_channels) - 1
             for j in range(cfg.layers_per_block):
-                x = ResnetBlock2D(
+                x = Block(
                     out_ch, use_temb=False, eps=eps,
                     groups=cfg.norm_num_groups, act_fn=cfg.act_fn,
                     filtered_act=filtered[i], dtype=self.dtype,
@@ -115,12 +120,15 @@ class Encoder(nn.Module):
 class Decoder(nn.Module):
     config: AutoencoderKLConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z, deterministic: bool = True):
         cfg = self.config
         kv = KVHelper()
         eps = 1e-6
+        Block = (nn.remat(ResnetBlock2D, static_argnums=(3,))
+                 if self.remat else ResnetBlock2D)
 
         filtered = [cfg.alias_free and f for f in cfg.up_filtered_act]
         af_resample = [cfg.alias_free and r for r in cfg.up_rescale] + [False]
@@ -139,7 +147,7 @@ class Decoder(nn.Module):
         for i, out_ch in enumerate(reversed_ch):
             is_final = i == len(reversed_ch) - 1
             for j in range(cfg.layers_per_block + 1):
-                x = ResnetBlock2D(
+                x = Block(
                     out_ch, use_temb=False, eps=eps,
                     groups=cfg.norm_num_groups, act_fn=cfg.act_fn,
                     filtered_act=filtered[i], dtype=self.dtype,
@@ -162,10 +170,13 @@ class AutoencoderKL(nn.Module):
     (the reference's DiagonalGaussianDistribution)."""
     config: AutoencoderKLConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # per-resnet-block gradient checkpointing
 
     def setup(self):
-        self.encoder = Encoder(self.config, dtype=self.dtype)
-        self.decoder = Decoder(self.config, dtype=self.dtype)
+        self.encoder = Encoder(self.config, dtype=self.dtype,
+                               remat=self.remat)
+        self.decoder = Decoder(self.config, dtype=self.dtype,
+                               remat=self.remat)
         if self.config.use_quant_conv:
             self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1),
                                       dtype=self.dtype)

@@ -5,7 +5,8 @@ from .trainer import Trainer, TrainState, create_trainer, make_optimizer
 from .ema import ema_init, ema_update, EMAState
 from .checkpoint import (save_checkpoint, restore_checkpoint,
                          latest_checkpoint, wait_for_checkpoints)
-from .data import (SyntheticDataset, ImageFolderDataset, make_dataset,
+from .data import (SyntheticDataset, ImageFolderDataset, DeadLeavesDataset,
+                   render_dead_leaves_folder, make_dataset,
                    epoch_batches)
 
 __all__ = [
@@ -15,6 +16,7 @@ __all__ = [
     "ema_init", "ema_update", "EMAState",
     "save_checkpoint", "restore_checkpoint", "latest_checkpoint",
     "wait_for_checkpoints",
-    "SyntheticDataset", "ImageFolderDataset", "make_dataset",
+    "SyntheticDataset", "ImageFolderDataset", "DeadLeavesDataset",
+    "render_dead_leaves_folder", "make_dataset",
     "epoch_batches",
 ]

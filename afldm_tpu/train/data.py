@@ -40,6 +40,72 @@ class SyntheticDataset:
         return {"input": img}
 
 
+def dead_leaves_image(rng, resolution=256, min_shapes=40, max_shapes=90,
+                      r_lo=6.0, r_hi=90.0):
+    """One procedural 'dead leaves' image (occluding random disks /
+    rectangles, power-law radii) as float32 HWC in [-1, 1].
+
+    Dead-leaves images reproduce natural-image statistics (scale-invariant
+    power spectrum, sharp occlusion edges at every scale) and are the
+    standard synthetic stand-in when real photos are unavailable — exactly
+    the full-band content on which resampling aliasing is visible, which
+    makes them the zero-egress dataset for shift-equivariance training."""
+    n = int(rng.integers(min_shapes, max_shapes + 1))
+    ii, jj = np.mgrid[0:resolution, 0:resolution].astype(np.float32)
+    img = np.empty((resolution, resolution, 3), np.float32)
+    img[:] = rng.uniform(-1, 1, (3,))
+    # inverse-cube radius law, painted back-to-front (later shapes occlude)
+    u = rng.uniform(0, 1, n)
+    radii = 1.0 / np.sqrt(u * (1 / r_lo ** 2 - 1 / r_hi ** 2)
+                          + 1 / r_hi ** 2)
+    cy = rng.uniform(0, resolution, n)
+    cx = rng.uniform(0, resolution, n)
+    colors = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    is_disk = rng.random(n) < 0.7
+    for k in range(n):
+        if is_disk[k]:
+            m = (ii - cy[k]) ** 2 + (jj - cx[k]) ** 2 <= radii[k] ** 2
+        else:
+            m = (np.abs(ii - cy[k]) <= radii[k]) \
+                & (np.abs(jj - cx[k]) <= radii[k])
+        img[m] = colors[k]
+    return img
+
+
+class DeadLeavesDataset:
+    """Deterministic procedural dataset of dead-leaves images; item i is
+    fully determined by (seed, i). Natural-image-like sharp-edge content
+    for zero-egress training (vs SyntheticDataset's smooth block noise)."""
+
+    def __init__(self, resolution=256, length=2048, seed=0):
+        self.resolution = resolution
+        self.length = length
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed * 1000003 + idx)
+        return {"input": dead_leaves_image(rng, self.resolution)}
+
+
+def render_dead_leaves_folder(root, resolution=256, length=2048, seed=0):
+    """Materialize a DeadLeavesDataset as PNGs so training runs through the
+    real image-folder input path (C++ decoder + crops), not an in-memory
+    shortcut. Idempotent: skips files that already exist."""
+    from PIL import Image
+    os.makedirs(root, exist_ok=True)
+    ds = DeadLeavesDataset(resolution, length, seed)
+    for i in range(length):
+        p = os.path.join(root, f"{i:05d}.png")
+        if os.path.exists(p):
+            continue
+        arr = ((ds[i]["input"] + 1) * 127.5).round().astype(np.uint8)
+        Image.fromarray(arr).save(p)
+    return root
+
+
 class ImageFolderDataset:
     def __init__(self, root, resolution=256, center_crop=True,
                  random_flip=False, seed=0):

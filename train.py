@@ -18,6 +18,11 @@ def main():
     parser.add_argument("config", type=str)
     parser.add_argument("--max_steps", type=int, default=None,
                         help="optional hard cap for smoke runs")
+    parser.add_argument("--max_minutes", type=float, default=None,
+                        help="wall-clock training budget; stops cleanly "
+                             "(final checkpoint + pipeline save) once "
+                             "elapsed — for time-boxed runs on shared "
+                             "hardware")
     parser.add_argument("--profile", type=int, default=0, metavar="N",
                         help="capture a jax.profiler trace of train steps "
                              "11..10+N into <output_dir>/<logging_dir>/"
@@ -37,6 +42,15 @@ def main():
     args = parser.parse_args()
 
     import jax
+    # persistent XLA compile cache (SURVEY §2.1 custom_ops JIT cache
+    # equivalent): resumed/restarted runs skip the minutes-long remote
+    # compile of the big train step
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     from afldm_tpu.parallel.mesh import initialize_distributed
@@ -219,13 +233,21 @@ def main():
             if args.max_steps and global_step >= args.max_steps:
                 done = True
                 break
+            if (args.max_minutes
+                    and time.time() - t0 > args.max_minutes * 60):
+                log.info("wall-clock budget (%.1f min) reached at step %d",
+                         args.max_minutes, global_step)
+                done = True
+                break
         # epoch-cadence validation (ref train.py:393 valid_epochs)
         if base.valid_epochs and ((epoch + 1) % base.valid_epochs == 0
                                   or epoch == base.num_epochs - 1):
             v = trainer.validate(global_step)
             log.info("validation (epoch %d): %s", epoch,
                      {k: v[k] for k in v if np.isscalar(v[k])})
-        if ((epoch + 1) % base.save_model_epochs == 0 or done) and is_main:
+        if ((base.save_model_epochs
+             and (epoch + 1) % base.save_model_epochs == 0) or done) \
+                and is_main:
             trainer.save_pipeline(os.path.join(base.output_dir, "pipeline"))
             log.info("saved pipeline (epoch %d)", epoch)
 
