@@ -9,6 +9,7 @@ produce the residuals the UNet consumes."""
 from dataclasses import dataclass, field, asdict
 from typing import Sequence
 
+import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -62,7 +63,8 @@ class ControlNetModel(nn.Module):
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states, cond,
                  conditioning_scale: float = 1.0, kv_in=None, kv_in2=None,
-                 alpha=None, deterministic: bool = True):
+                 alpha=None, deterministic: bool = True,
+                 guess_mode: bool = False):
         cfg = self.config
         kv = KVHelper(kv_in, kv_in2, alpha)
         heads = cfg.attention_head_dim
@@ -113,15 +115,25 @@ class ControlNetModel(nn.Module):
             name="mid_block")(x, temb, encoder_hidden_states, kv,
                               deterministic)
 
+        # guess mode ramps the residual strengths logarithmically from 0.1
+        # (shallowest skip) to 1.0 (mid block) before conditioning_scale —
+        # the reference ControlNet's guess-mode scaling
+        # (ref models/my_controlnet.py:212-231)
+        if guess_mode:
+            ramp = np.logspace(-1, 0, len(skips) + 1)
+            scales = [float(r) * conditioning_scale for r in ramp]
+        else:
+            scales = [conditioning_scale] * (len(skips) + 1)
+
         down_res = []
         for i, s in enumerate(skips):
             r = nn.Conv(s.shape[-1], (1, 1), dtype=self.dtype,
                         kernel_init=nn.initializers.zeros,
                         bias_init=nn.initializers.zeros,
                         name=f"controlnet_down_blocks_{i}")(s)
-            down_res.append(r * conditioning_scale)
+            down_res.append(r * scales[i])
         mid_res = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype,
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.zeros,
                           name="controlnet_mid_block")(x)
-        return tuple(down_res), mid_res * conditioning_scale, kv.collected()
+        return tuple(down_res), mid_res * scales[-1], kv.collected()

@@ -48,7 +48,8 @@ def init_random_pipeline(unet_config, vae_config, scheduler_config,
 def load_pipeline(pipeline_dir, cls=LDMPipeline, scheduler_config=None,
                   use_ema=True, dtype=jnp.float32):
     """Load a pipeline saved by a trainer's ``save_pipeline``."""
-    from ..train.checkpoint import latest_checkpoint, restore_checkpoint
+    from ..train.checkpoint import (latest_checkpoint,
+                                    restore_checkpoint_lenient)
 
     unet_config = _load_json(os.path.join(pipeline_dir, "unet_config.json"))
     vae_config = _load_json(os.path.join(pipeline_dir, "vae_config.json"))
@@ -67,13 +68,13 @@ def load_pipeline(pipeline_dir, cls=LDMPipeline, scheduler_config=None,
         target = {"unet": jax.device_get(pipe.unet_params),
                   "unet_ema": jax.device_get(pipe.unet_params),
                   "vae": jax.device_get(pipe.vae_params)}
-        try:
-            state = restore_checkpoint(ckpt, target)
-            key = ("unet_ema" if use_ema and state.get("unet_ema")
-                   else "unet")
+        # lenient restore adapts to what the dir actually holds (EMA off
+        # saved as {}, vae-only / unet-only pipelines); it raises on real
+        # corruption instead of silently returning random params
+        state = restore_checkpoint_lenient(ckpt, target)
+        key = "unet_ema" if use_ema and state.get("unet_ema") else "unet"
+        if state.get(key):
             pipe.unet_params = jax.device_put(state[key])
+        if state.get("vae"):
             pipe.vae_params = jax.device_put(state["vae"])
-        except Exception:
-            # tolerate vae-only / unet-only pipelines
-            pass
     return pipe

@@ -92,8 +92,60 @@ class NormControlPipeline:
             e = jnp.zeros((1, 77, dim), jnp.float32)
         return jnp.repeat(e, batch, axis=0)
 
+    def _denoise_fn(self, num_steps, do_cfg, guess_mode):
+        """Multi-step ControlNet denoise scan (the reference's non-YOSO
+        branch, normal_control_pipeline.py:389-396): per step the ControlNet
+        residuals are recomputed and injected into the UNet, with CFG
+        (2x batch) and guess-mode handling (ControlNet runs on the
+        conditional half only; residuals are zero-padded for the uncond
+        half — ref :352-356). Jitted once per (steps, cfg, guess) combo."""
+        key = ("denoise", num_steps, do_cfg, guess_mode)
+        if key in self._fns:
+            return self._fns[key]
+        unet, cn, sched = self.unet, self.controlnet, self.scheduler
+
+        @jax.jit
+        def run(unet_params, cn_params, latents, cond_latents, ehs_u, ehs_c,
+                ts, ts_prev, gs):
+            def body(carry, x):
+                t, pt = x
+                if do_cfg:
+                    inp = jnp.concatenate([carry, carry], axis=0)
+                    ehs = jnp.concatenate([ehs_u, ehs_c], axis=0)
+                    if guess_mode:
+                        d, m, _ = cn.apply(cn_params, carry, t, ehs_c,
+                                           cond_latents, guess_mode=True)
+                        d = tuple(jnp.concatenate([jnp.zeros_like(r), r], 0)
+                                  for r in d)
+                        m = jnp.concatenate([jnp.zeros_like(m), m], 0)
+                    else:
+                        cond2 = jnp.concatenate([cond_latents, cond_latents],
+                                                axis=0)
+                        d, m, _ = cn.apply(cn_params, inp, t, ehs, cond2)
+                    eps, _ = unet.apply(unet_params, inp, t, ehs,
+                                        down_block_residuals=d,
+                                        mid_block_residual=m)
+                    eu, ec = jnp.split(eps, 2, axis=0)
+                    eps = eu + gs * (ec - eu)
+                else:
+                    d, m, _ = cn.apply(cn_params, carry, t, ehs_c,
+                                       cond_latents, guess_mode=guess_mode)
+                    eps, _ = unet.apply(unet_params, carry, t, ehs_c,
+                                        down_block_residuals=d,
+                                        mid_block_residual=m)
+                nxt, _ = sched.step(eps, t, carry, prev_timestep=pt)
+                return nxt, None
+
+            return jax.lax.scan(body, latents, (ts, ts_prev))[0]
+
+        self._fns[key] = run
+        return run
+
     def __call__(self, image, num_shift_steps: int = 16, from_zero=True,
-                 key=None, prompt="") -> NormalEstimationResult:
+                 key=None, prompt="", is_yoso: bool = True,
+                 num_inference_steps: int = 20, guidance_scale: float = 1.0,
+                 guess_mode: bool = False,
+                 negative_prompt="") -> NormalEstimationResult:
         ratio = self.vae.config.downsample_ratio
         shifter = ImageShifter("ideal_crop", upsample_ratio=ratio)
         img_shifter = ImageShifter()
@@ -104,7 +156,13 @@ class NormControlPipeline:
 
         cond0 = encode(self.vae_params, image)
         n, hl, wl, cl = cond0.shape
-        if from_zero:
+        if not is_yoso:
+            # the multi-step branch starts from pure noise
+            # (ref normal_control_pipeline.py:304-308 prepare_latents)
+            assert key is not None, "non-YOSO mode needs a PRNG key"
+            lat0 = (jax.random.normal(key, cond0.shape, cond0.dtype)
+                    * self.scheduler.init_noise_sigma)
+        elif from_zero:
             lat0 = jnp.zeros_like(cond0)
         else:
             assert key is not None
@@ -135,8 +193,20 @@ class NormControlPipeline:
 
         conds, lats, masks = self._fns[pkey](cond0, lat0)
         ehs = self.prompt_embeds(conds.shape[0], prompt)
-        preds = yoso(self.unet_params, self.controlnet_params, lats, conds,
-                     ehs)
+        if is_yoso:
+            preds = yoso(self.unet_params, self.controlnet_params, lats,
+                         conds, ehs)
+        else:
+            do_cfg = guidance_scale > 1.0
+            ehs_u = self.prompt_embeds(conds.shape[0], negative_prompt)
+            ts = jnp.asarray(
+                self.scheduler.set_timesteps(num_inference_steps))
+            dt = self.scheduler.num_train_timesteps // num_inference_steps
+            ts_prev = ts - dt
+            run = self._denoise_fn(num_inference_steps, do_cfg, guess_mode)
+            preds = run(self.unet_params, self.controlnet_params, lats,
+                        conds, ehs_u, ehs, ts, ts_prev,
+                        jnp.asarray(guidance_scale, jnp.float32))
         # decode in chunks: the alias-free VAE's 2x-oversampled
         # intermediates for all (1 + num_shift_steps) frames at once
         # exhaust HBM at 512 px (17 x 1024^2 x C maps). Pad to a chunk

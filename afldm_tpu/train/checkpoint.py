@@ -85,6 +85,46 @@ def restore_checkpoint(path, target_state):
     return ckptr.restore(os.path.abspath(path), target_state)
 
 
+def restore_checkpoint_lenient(path, target_state):
+    """Restore the intersection of ``target_state`` and what is on disk.
+
+    The trainers' ``save_pipeline`` layouts vary by configuration (EMA off
+    writes ``{"unet_ema": {}}``; a VAE-only dir has no ``unet`` at all), so
+    pipeline/weight loaders can't know the exact saved structure up front —
+    and Orbax's strict restore raises on any mismatch. This reads the
+    checkpoint's metadata first and adapts: target keys missing on disk are
+    dropped from the result, and subtrees saved as ``{}`` restore as ``{}``.
+    Training-state resume keeps using the strict ``restore_checkpoint`` —
+    there a structure mismatch means corruption and must raise."""
+    wait_for_checkpoints()
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if not isinstance(target_state, dict):
+        return ckptr.restore(path, target_state)
+    meta = ckptr.metadata(path)
+    # StepMetadata -> TreeMetadata -> raw tree dict (orbax >= 0.6); older
+    # versions return the tree directly
+    meta = getattr(meta, "item_metadata", meta)
+    meta = getattr(meta, "tree", meta)
+    if not isinstance(meta, dict):
+        return ckptr.restore(path, target_state)
+
+    def adapt(t, m):
+        if isinstance(m, dict):
+            if not m:
+                return {}
+            if isinstance(t, dict):
+                return {k: adapt(t[k], m[k]) for k in t if k in m}
+        return t
+
+    target = adapt(target_state, meta)
+    # partial_restore: the dir may hold keys the caller didn't ask for
+    # (e.g. an LDM unet/unet_ema/vae dir read through a vae-only skeleton)
+    ckptr2 = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    return ckptr2.restore(
+        path, args=ocp.args.PyTreeRestore(item=target, partial_restore=True))
+
+
 def resume_step_from_path(path):
     m = re.search(r"checkpoint-(\d+)$", path.rstrip("/"))
     return int(m.group(1)) if m else 0

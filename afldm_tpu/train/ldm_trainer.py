@@ -83,15 +83,16 @@ class LDMTrainer(Trainer):
         (LDM: unet/unet_ema/vae; VAE: vae/model_ema); returns the first
         non-empty entry of ``prefer`` or None when no checkpoint exists /
         the layout differs."""
-        from .checkpoint import latest_checkpoint, restore_checkpoint
+        from .checkpoint import (latest_checkpoint,
+                                 restore_checkpoint_lenient)
         ckpt = latest_checkpoint(path)
         if ckpt is None:
             return None
-        try:
-            state = restore_checkpoint(
-                ckpt, {k: jax.device_get(v) for k, v in skeleton.items()})
-        except Exception:
-            return None
+        # lenient: the saved layout varies by config (EMA off writes {},
+        # VAE-only dirs have no unet) — strict restore would raise and a
+        # swallowed error here silently trained against RANDOM weights
+        state = restore_checkpoint_lenient(
+            ckpt, {k: jax.device_get(v) for k, v in skeleton.items()})
         for k in prefer:
             if state.get(k):
                 return state[k]

@@ -21,6 +21,13 @@ def parse_args():
     p.add_argument("--input_path", type=str, default=None)
     p.add_argument("--pipeline_dir", type=str, default=None)
     p.add_argument("--tiny", action="store_true")
+    # the reference pipeline's non-YOSO branch
+    # (normal_control_pipeline.py:389-396): full multi-step denoise loop
+    p.add_argument("--no_yoso", action="store_true")
+    p.add_argument("--num_inference_steps", type=int, default=20)
+    p.add_argument("--guidance_scale", type=float, default=1.0)
+    p.add_argument("--guess_mode", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
 
@@ -66,14 +73,14 @@ def main():
 
     if args.pipeline_dir:
         from afldm_tpu.train.checkpoint import (latest_checkpoint,
-                                                restore_checkpoint)
+                                                restore_checkpoint_lenient)
         ckpt = latest_checkpoint(args.pipeline_dir)
-        state = restore_checkpoint(ckpt, {
+        state = restore_checkpoint_lenient(ckpt, {
             "unet": jax.device_get(up), "controlnet": jax.device_get(cp),
             "vae": jax.device_get(vp)})
-        up, cp, vp = (jax.device_put(state["unet"]),
-                      jax.device_put(state["controlnet"]),
-                      jax.device_put(state["vae"]))
+        up, cp, vp = (jax.device_put(state.get("unet", up)),
+                      jax.device_put(state.get("controlnet", cp)),
+                      jax.device_put(state.get("vae", vp)))
 
     pipe = NormControlPipeline(vae, vp, unet, up, cn, cp,
                                DDIMScheduler(num_train_timesteps=1000))
@@ -86,7 +93,12 @@ def main():
         img = jnp.asarray(np.tanh(np.kron(low, np.ones((8, 8, 1))))[None],
                           jnp.float32)
 
-    out = pipe(img, num_shift_steps=args.shift_steps)
+    out = pipe(img, num_shift_steps=args.shift_steps,
+               is_yoso=not args.no_yoso,
+               key=jax.random.PRNGKey(args.seed),
+               num_inference_steps=args.num_inference_steps,
+               guidance_scale=args.guidance_scale,
+               guess_mode=args.guess_mode)
 
     os.makedirs(os.path.dirname(args.output_path) or ".", exist_ok=True)
     from afldm_tpu.shift.shifters import ImageShifter

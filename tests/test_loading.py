@@ -128,3 +128,85 @@ def test_async_checkpoint_roundtrip(tmp_path):
     assert latest.endswith("checkpoint-3")
     got = restore_checkpoint(latest, state)
     assert float(got["w"][5]) == 5.0 and int(got["step"]) == 3
+
+
+def test_convert_reference_checkpoint_rehearsal(tmp_path):
+    """End-to-end ingestion rehearsal (VERDICT r2 item 2): synthesize a
+    diffusers pipeline directory (unet/ + vae/ + scheduler/ subfolders,
+    torch-side keys in safetensors — the exact layout
+    SingleZombie/alias_free_ldm_ffhq ships, ref shift_ldm_ffhq.py:165-170),
+    run scripts/convert_reference_checkpoint.py's converter, load the
+    result with load_pipeline, and require the loaded pipeline's UNet+VAE
+    forwards to match the source params exactly."""
+    import json
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    pytest.importorskip("safetensors")
+    from safetensors.numpy import save_file
+
+    from afldm_tpu.models import (UNet2DModel, UNet2DConfig,
+                                  AutoencoderKL, AutoencoderKLConfig)
+    from afldm_tpu.models.convert import flax_to_torch
+    from afldm_tpu.pipelines.loading import load_pipeline
+    sys_path = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(sys_path, "scripts"))
+    from convert_reference_checkpoint import convert_pipeline_dir
+
+    unet_cfg = {"sample_size": 8, "in_channels": 4, "out_channels": 4,
+                "down_block_types": ["DownBlock2D", "AttnDownBlock2D"],
+                "up_block_types": ["AttnUpBlock2D", "UpBlock2D"],
+                "block_out_channels": [8, 16], "layers_per_block": 1,
+                "attention_head_dim": 8, "norm_num_groups": 4}
+    vae_cfg = {"block_out_channels": [8, 8], "layers_per_block": 1,
+               "latent_channels": 4, "norm_num_groups": 4,
+               "sample_size": 16, "scaling_factor": 0.6,
+               "up_rescale": [True], "down_filtered_act": [False, True],
+               "up_filtered_act": [True, False], "mid_act": True}
+
+    key = jax.random.PRNGKey(7)
+    unet = UNet2DModel(UNet2DConfig.from_diffusers(unet_cfg,
+                                                   alias_free=True))
+    vae = AutoencoderKL(AutoencoderKLConfig.from_diffusers(vae_cfg))
+    lat = jnp.zeros((1, 8, 8, 4))
+    img = jnp.zeros((1, 16, 16, 3))
+    k1, k2 = jax.random.split(key)
+    unet_params = unet.init(k1, lat, jnp.zeros((1,), jnp.int32))
+    vae_params = vae.init(k2, img)
+
+    # ---- synthesize the published-checkpoint layout
+    src = tmp_path / "hub"
+    for sub, cfg, params in (("unet", unet_cfg, unet_params),
+                             ("vae", vae_cfg, vae_params)):
+        (src / sub).mkdir(parents=True)
+        (src / sub / "config.json").write_text(json.dumps(cfg))
+        sd = {k: np.ascontiguousarray(v)
+              for k, v in flax_to_torch(params).items()}
+        save_file(sd, str(src / sub / "diffusion_pytorch_model.safetensors"))
+    (src / "scheduler").mkdir()
+    (src / "scheduler" / "scheduler_config.json").write_text(json.dumps(
+        {"num_train_timesteps": 1000, "beta_schedule": "scaled_linear",
+         "beta_start": 0.0015, "beta_end": 0.0195, "clip_sample": False}))
+
+    # ---- one command
+    out = str(tmp_path / "converted")
+    convert_pipeline_dir(str(src), out, alias_free=True, log=lambda *a: None)
+
+    # ---- and the result must load + run with zero new code
+    pipe = load_pipeline(out)
+    assert pipe.unet.config.alias_free
+    assert pipe.scheduler.num_train_timesteps == 1000
+
+    r = np.random.default_rng(0)
+    z = jnp.asarray(r.standard_normal((1, 8, 8, 4)), jnp.float32)
+    x = jnp.asarray(r.standard_normal((1, 16, 16, 3)), jnp.float32)
+    t = jnp.asarray([3], jnp.int32)
+
+    want_eps = unet.apply(unet_params, z, t)[0]
+    got_eps = pipe.unet.apply(pipe.unet_params, z, t)[0]
+    np.testing.assert_allclose(np.asarray(got_eps), np.asarray(want_eps),
+                               atol=1e-5)
+    want_mu = vae.apply(vae_params, x, method="encode")[0]
+    got_mu = pipe.vae.apply(pipe.vae_params, x, method="encode")[0]
+    np.testing.assert_allclose(np.asarray(got_mu), np.asarray(want_mu),
+                               atol=1e-5)

@@ -171,3 +171,64 @@ def test_interpolation_endpoint_consistency(sd_parts):
     out = pipe(img0, img1, num_frames=2, num_inference_steps=2,
                key=jax.random.PRNGKey(12), use_slerp=False)
     assert np.isfinite(out).all()
+
+
+def test_norm_control_multistep(sd_parts):
+    """The non-YOSO branch (ref normal_control_pipeline.py:389-396):
+    multi-step ControlNet denoise with CFG and guess-mode variants."""
+    unet, up, vae, vp = sd_parts
+    cn_cfg = ControlNetConfig.from_unet_config(SD_CFG)
+    cn = ControlNetModel(cn_cfg)
+    z = jnp.zeros((1, 8, 8, 4))
+    cp = cn.init(jax.random.PRNGKey(3), z, jnp.asarray([0]),
+                 jnp.zeros((1, 7, 16)), z)
+    # non-transparent controlnet so residuals actually act
+    cp = jax.tree_util.tree_map(
+        lambda a: a + 0.01 if a.ndim >= 1 else a, cp)
+    pipe = NormControlPipeline(vae, vp, unet, up, cn, cp,
+                               DDIMScheduler(**DDIM_CFG),
+                               text_encoder=_ZeroTextEncoder())
+    img = jax.random.normal(jax.random.PRNGKey(4), (1, 64, 64, 3)) * 0.3
+    key = jax.random.PRNGKey(7)
+
+    res = pipe(img, num_shift_steps=2, is_yoso=False, key=key,
+               num_inference_steps=3)
+    assert res.normals.shape == (3, 64, 64, 3)
+    assert np.isfinite(res.normals).all() and np.isfinite(res.psnrs).all()
+
+    # with the zero text encoder, cond == uncond embeds, so the CFG combine
+    # eu + gs*(ec - eu) must equal the plain path bit-for-bit in exact math
+    # (tolerance for the separate compile)
+    res_cfg = pipe(img, num_shift_steps=2, is_yoso=False, key=key,
+                   num_inference_steps=3, guidance_scale=5.0)
+    np.testing.assert_allclose(res_cfg.normals, res.normals, atol=1e-4)
+
+    # guess mode zeroes the uncond-half residuals and ramps the scales —
+    # must differ from the full-CFG run and stay finite
+    res_guess = pipe(img, num_shift_steps=2, is_yoso=False, key=key,
+                     num_inference_steps=3, guidance_scale=5.0,
+                     guess_mode=True)
+    assert np.isfinite(res_guess.normals).all()
+    assert np.abs(res_guess.normals - res_cfg.normals).max() > 1e-4
+
+
+def test_controlnet_guess_mode_ramp(sd_parts):
+    """Guess-mode residual scaling is the logspace 0.1 -> 1.0 ramp applied
+    per skip (ref models/my_controlnet.py:212-231)."""
+    _, _, _, _ = sd_parts
+    cn_cfg = ControlNetConfig.from_unet_config(SD_CFG)
+    cn = ControlNetModel(cn_cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    ehs = jnp.zeros((1, 7, 16))
+    cp = cn.init(jax.random.PRNGKey(3), z, jnp.asarray([0]), ehs, z)
+    cp = jax.tree_util.tree_map(
+        lambda a: a + 0.01 if a.ndim >= 1 else a, cp)
+    d0, m0, _ = cn.apply(cp, z, jnp.asarray([999]), ehs, z)
+    d1, m1, _ = cn.apply(cp, z, jnp.asarray([999]), ehs, z,
+                         guess_mode=True)
+    ramp = np.logspace(-1, 0, len(d0) + 1)
+    for i, (a, b) in enumerate(zip(d0, d1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a) * ramp[i],
+                                   rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0) * ramp[-1],
+                               rtol=1e-5)

@@ -287,3 +287,35 @@ def test_ldm_trainer_vqvae(tmp_path):
     ds = SyntheticDataset(resolution=16, length=16)
     logs = _run_steps(tr, 3, ds)
     assert all(np.isfinite(l["train_loss"]) for l in logs)
+
+
+def test_ldm_vae_path_from_ema_free_vae_pipeline(tmp_path):
+    """Regression: a VAE-trainer save_pipeline dir written with use_ema=False
+    stores model_ema={}; the LDM trainer's vae_path restore must still load
+    the real VAE weights (the earlier strict-restore + swallowed exception
+    silently trained the LDM against a RANDOM vae)."""
+    base = _base(tmp_path)
+    vcfg = VAETrainingConfig(model_cfg="", use_shift_loss=False,
+                             use_disc=False, use_ema=False,
+                             learning_rate=1e-3, lr_warmup_steps=0,
+                             gradient_accumulation_steps=1)
+    vt = create_trainer("vae", base, vcfg)
+    vt.init_modules(vae_config=TINY_VAE_CFG)
+    vt.init_optimizers(4)
+    vt.prepare_modules()
+    _run_steps(vt, 1, SyntheticDataset(resolution=16, length=4))
+    vae_dir = str(tmp_path / "vae_pipeline")
+    vt.save_pipeline(vae_dir)
+
+    cfg = LDMTrainingConfig(vae_path=vae_dir, scheduler_path="",
+                            use_shift_loss=False, use_cross_attn=False,
+                            use_ema=False, learning_rate=1e-3,
+                            lr_warmup_steps=0)
+    tr = create_trainer("ldm", base, cfg)
+    tr.init_modules(vae_config=TINY_VAE_CFG, unet_config=TINY_UNET_CFG,
+                    scheduler_config=SCHED_CFG)
+    tr.init_optimizers(4)
+    tr.prepare_modules()
+    for a, b in zip(jax.tree_util.tree_leaves(vt.state.params),
+                    jax.tree_util.tree_leaves(tr.vae_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
