@@ -246,3 +246,35 @@ def test_lanczos_shift_close_to_ideal_in_valid_region(rng):
     err = np.abs(np.asarray((yl - yi) * ml)).mean()
     base = np.abs(np.asarray(yi * ml)).mean()
     assert err < 0.1 * base
+
+
+def test_image_downsampler_ideal_roundtrip():
+    """Regression for the deliberate fix of the reference's broken ideal
+    cutoff (ref shifters.py:347 passes `scale` where 1/scale is intended;
+    see ImageDownsampler docstring): ideal downsample of a bandlimited
+    signal then ideal upsample must be (near-)identity. With the
+    reference's broken no-op mask the decimation aliases and the roundtrip
+    error is O(1)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from afldm_tpu.shift.shifters import ImageDownsampler, ImageUpsampler
+    from afldm_tpu.ops.ideal_lpf import lpf_rfft
+
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.standard_normal((1, 32, 32, 2)), jnp.float32)
+    # bandlimit to below the post-decimation Nyquist (cutoff 1/2 of the
+    # 2x-decimated grid = 1/4 of the original)
+    x = lpf_rfft(x, cutoff=0.25)
+
+    down = ImageDownsampler(scale=2, mode="ideal")
+    up = ImageUpsampler(scale=2, mode="ideal")
+    y = down.downsample(x)
+    assert y.shape == (1, 16, 16, 2)
+    z = up.upsample(y)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(x), atol=1e-4)
+
+    # energy preserved through the decimation (no aliased fold-back)
+    e_hi = float((np.asarray(x) ** 2).mean())
+    e_lo = float((np.asarray(y) ** 2).mean())
+    assert abs(e_hi - e_lo) / e_hi < 1e-3

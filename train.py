@@ -151,6 +151,8 @@ def main():
 
     log.info("training %s: %d steps/epoch, %d epochs", trainer_key,
              steps_per_epoch, base.num_epochs)
+    from afldm_tpu.utils.training_stats import Collector
+    collector = Collector()
     t0 = time.time()
     done = False
     prof = None
@@ -173,6 +175,8 @@ def main():
                 prof.__enter__()
                 log.info("profiling %d steps -> %s", args.profile, prof_dir)
             logs = trainer.training_step(global_step, batch)
+            for k, v in logs.items():
+                collector.report(k, v)
             if args.nan_guard and not np.isfinite(
                     logs.get("train_loss", 0.0)):
                 nan_restores += 1
@@ -196,6 +200,11 @@ def main():
                 prof = None
                 log.info("profile written")
             if global_step % 10 == 0:
+                # window means via the stats collector (ref
+                # training_stats.Collector, training_stats.py:113-234),
+                # not the last step's instantaneous values
+                logs = {k: collector.mean(k) for k in collector.names()}
+                collector.reset()
                 logs["step"] = global_step
                 logs["steps_per_s"] = global_step / (time.time() - t0)
                 mfile.write(json.dumps(logs) + "\n")
