@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.attention import sdpa
+from ..ops.attention import sdpa, sdpa2
 
 from ..ops.ideal_lpf import (
     upsample_rfft,
@@ -186,9 +186,26 @@ class Attention(nn.Module):
         elif kv_override2 is None:
             out = attend(kv_source(kv_override))
         else:
-            out1 = attend(kv_source(kv_override))
-            out2 = attend(kv_source(kv_override2))
-            out = (1 - alpha) * out1 + alpha * out2
+            # CFA interpolation (ref cross_frame_attn.py:100-122): blended
+            # attention over two stored maps. to_out is affine and the
+            # blend weights sum to 1, so blending BEFORE to_out is exact —
+            # and lets the fused two-KV flash kernel produce the blend in
+            # a single pass over both KV sets (ops.attention.sdpa2)
+            kv0, kv1 = kv_source(kv_override), kv_source(kv_override2)
+            k0, v0 = to_k(kv0), to_v(kv0)
+            k1, v1 = to_k(kv1), to_v(kv1)
+            hd = C // self.num_heads
+
+            def split(t):
+                return t.reshape(t.shape[0], t.shape[1], self.num_heads,
+                                 hd).transpose(0, 2, 1, 3)
+
+            a = (jnp.asarray(alpha, jnp.float32)
+                 if alpha is not None else jnp.float32(0.5))
+            blended = sdpa2(split(q), split(k0), split(v0), split(k1),
+                            split(v1), a)
+            blended = blended.transpose(0, 2, 1, 3).reshape(N, H * W, C)
+            out = to_out(blended)
 
         out = out.reshape(N, H, W, C)
         if self.residual:

@@ -286,6 +286,161 @@ sdpa_flash.defvjp(_sdpa_fwd, _sdpa_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Two-KV fused kernel: (1-a) * attn(q, kv0) + a * attn(q, kv1) in ONE pass.
+# The CFA-interp attention (pipelines/interpolation.py, models/layers.py
+# Attention kv_override2 branch — ref cross_frame_attn.py:100-122) runs two
+# full attentions over the same Q; fusing shares the Q-block loads, keeps
+# both online-softmax states in VMEM, and writes a single blended output
+# (half the output traffic, one kernel launch instead of two + blend).
+# ---------------------------------------------------------------------------
+
+def _flash2_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, a_ref, o_ref,
+                   m0_ref, l0_ref, acc0_ref, m1_ref, l1_ref, acc1_ref,
+                   *, scale):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        m0_ref[...] = jnp.full_like(m0_ref, _NEG_INF)
+        l0_ref[...] = jnp.zeros_like(l0_ref)
+        acc0_ref[...] = jnp.zeros_like(acc0_ref)
+        m1_ref[...] = jnp.full_like(m1_ref, _NEG_INF)
+        l1_ref[...] = jnp.zeros_like(l1_ref)
+        acc1_ref[...] = jnp.zeros_like(acc1_ref)
+
+    qb = q_ref[0]                      # (bq, D) — loaded once per kv pair
+
+    def step(k_ref, v_ref, m_ref, l_ref, acc_ref):
+        s = jax.lax.dot_general(
+            qb, k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[...] = m_new
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * corr + pv
+
+    step(k0_ref, v0_ref, m0_ref, l0_ref, acc0_ref)
+    step(k1_ref, v1_ref, m1_ref, l1_ref, acc1_ref)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        a = a_ref[0, 0, 0]
+        o0 = acc0_ref[...] / l0_ref[...]
+        o1 = acc1_ref[...] / l1_ref[...]
+        o_ref[0] = ((1.0 - a) * o0 + a * o1).astype(o_ref.dtype)
+
+
+def _flash2_3d(q, k0, v0, k1, v1, alpha, scale, block_q, block_k):
+    B, Lq, D = q.shape
+    Lk = k0.shape[1]
+    bq = _pick_block(Lq, block_q)
+    bk = _pick_block(Lk, block_k)
+    assert bq is not None and bk is not None, (q.shape, k0.shape)
+    kvspec = pl.BlockSpec((1, bk, D), lambda b, i, kk: (b, kk, 0))
+    return pl.pallas_call(
+        partial(_flash2_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
+        grid=(B, Lq // bq, Lk // bk),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, kk: (b, i, 0)),
+            kvspec, kvspec, kvspec, kvspec,
+            pl.BlockSpec((1, 1, 1), lambda b, i, kk: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, kk: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+    )(q, k0, v0, k1, v1, alpha)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def sdpa2_flash(q, k0, v0, k1, v1, alpha, scale=None, block_q=512,
+                block_k=1024):
+    """Fused (1-alpha)*attn(q,k0,v0) + alpha*attn(q,k1,v1).
+
+    q: (..., Lq, D); k*/v*: (..., Lk, D) (both KV sets share Lk — the CFA
+    caches store same-length maps); alpha: scalar or broadcastable to the
+    leading dims (per-frame interpolation weights)."""
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    lead = q.shape[:-2]
+    Lq, D = q.shape[-2:]
+    Lk = k0.shape[-2]
+    # broadcast alpha over the leading dims, then flatten with them: a
+    # scalar covers everything, (N,) / (N,1,1) are per-frame and broadcast
+    # over heads
+    a = jnp.asarray(alpha, jnp.float32)
+    while a.ndim > len(lead) and a.shape[-1] == 1:
+        a = a[..., 0]
+    a = jnp.broadcast_to(a.reshape(a.shape + (1,) * (len(lead) - a.ndim)),
+                         lead or (1,))
+    out = _flash2_3d(q.reshape((-1, Lq, D)), k0.reshape((-1, Lk, D)),
+                     v0.reshape((-1, Lk, D)), k1.reshape((-1, Lk, D)),
+                     v1.reshape((-1, Lk, D)), a.reshape((-1, 1, 1)),
+                     scale, block_q, block_k)
+    return out.reshape(lead + (Lq, D))
+
+
+def _sdpa2_fwd(q, k0, v0, k1, v1, alpha, scale, block_q, block_k):
+    return (sdpa2_flash(q, k0, v0, k1, v1, alpha, scale, block_q, block_k),
+            (q, k0, v0, k1, v1, alpha))
+
+
+def _sdpa2_bwd(scale, block_q, block_k, res, g):
+    # backward = VJP through two single-KV flash attentions (each with its
+    # true flash backward); costs one fused-forward recompute, which is
+    # fine — the interp pipeline never differentiates this path
+    q, k0, v0, k1, v1, alpha = res
+
+    def ref(q, k0, v0, k1, v1, alpha):
+        o0 = sdpa_flash(q, k0, v0, scale, block_q, block_k)
+        o1 = sdpa_flash(q, k1, v1, scale, block_q, block_k)
+        a = jnp.asarray(alpha, jnp.float32)
+        a = a.reshape(a.shape + (1,) * (o0.ndim - a.ndim))
+        return (1.0 - a) * o0 + a * o1
+
+    return jax.vjp(ref, q, k0, v0, k1, v1, alpha)[1](g)
+
+
+sdpa2_flash.defvjp(_sdpa2_fwd, _sdpa2_bwd)
+
+
+def sdpa2_xla(q, k0, v0, k1, v1, alpha, scale=None):
+    o0 = sdpa_xla(q, k0, v0, scale)
+    o1 = sdpa_xla(q, k1, v1, scale)
+    a = jnp.asarray(alpha, jnp.float32)
+    a = a.reshape(a.shape + (1,) * (o0.ndim - a.ndim))
+    return (1.0 - a) * o0 + a * o1
+
+
+def sdpa2(q, k0, v0, k1, v1, alpha, scale=None):
+    """Dispatching two-KV blended SDPA (the CFA-interp attention)."""
+    if (_IMPL != "xla" and flash_supported(q.shape, k0.shape)
+            and k0.shape == k1.shape):
+        forced = _IMPL == "flash"
+        bh = int(np.prod(q.shape[:-2])) if q.ndim > 2 else 1
+        long_q = q.shape[-2] >= _FLASH_MIN_Q or (
+            q.shape[-2] >= _FLASH_MIN_Q_BATCHED
+            and bh >= _FLASH_MIN_BATCH_HEADS)
+        wins = long_q and k0.shape[-2] >= _FLASH_MIN_K
+        if forced or (wins and not _interpret()):
+            return sdpa2_flash(q, k0, v0, k1, v1, alpha, scale)
+    return sdpa2_xla(q, k0, v0, k1, v1, alpha, scale)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 

@@ -114,3 +114,91 @@ def test_matches_torch_sdpa():
         out = fn(q, k, v)
         np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-6,
                                    rtol=1e-4)
+
+
+# -- two-KV fused CFA-interp kernel (VERDICT r2 item 5) ----------------------
+
+def test_sdpa2_flash_matches_xla():
+    from afldm_tpu.ops.attention import sdpa2_flash, sdpa2_xla
+    B, H, L, D = 2, 3, 512, 40
+    q = _rand((B, H, L, D), seed=1)
+    k0 = _rand((B, H, L, D), seed=2)
+    v0 = _rand((B, H, L, D), seed=3)
+    k1 = _rand((B, H, L, D), seed=4)
+    v1 = _rand((B, H, L, D), seed=5)
+    for alpha in (0.0, 0.3, 1.0):
+        ref = sdpa2_xla(q, k0, v0, k1, v1, alpha)
+        out = jax.jit(sdpa2_flash)(q, k0, v0, k1, v1, alpha)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-6, rtol=1e-5)
+
+
+def test_sdpa2_per_frame_alpha():
+    """(N,) and (N,1,1) per-frame alphas (the interp pipeline's shape,
+    interpolation.py:215) broadcast over heads identically."""
+    from afldm_tpu.ops.attention import sdpa2_flash, sdpa2_xla
+    B, H, L, D = 3, 2, 256, 32
+    q = _rand((B, H, L, D), seed=1)
+    k0 = _rand((B, H, L, D), seed=2)
+    v0 = _rand((B, H, L, D), seed=3)
+    k1 = _rand((B, H, L, D), seed=4)
+    v1 = _rand((B, H, L, D), seed=5)
+    a = jnp.asarray([0.0, 0.5, 1.0], jnp.float32)
+    ref = sdpa2_xla(q, k0, v0, k1, v1, a[:, None, None])
+    out = jax.jit(sdpa2_flash)(q, k0, v0, k1, v1, a)
+    out2 = jax.jit(sdpa2_flash)(q, k0, v0, k1, v1, a[:, None, None])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               atol=3e-6, rtol=1e-5)
+    # frame 0 is pure kv0 attention, frame 2 pure kv1
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(sdpa_xla(q[0], k0[0], v0[0])),
+        atol=3e-6, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out[2]), np.asarray(sdpa_xla(q[2], k1[2], v1[2])),
+        atol=3e-6, rtol=1e-5)
+
+
+def test_sdpa2_grad_matches_xla():
+    from afldm_tpu.ops.attention import sdpa2_flash, sdpa2_xla
+    q = _rand((1, 2, 256, 32), seed=6)
+    k0 = _rand((1, 2, 256, 32), seed=7)
+    v0 = _rand((1, 2, 256, 32), seed=8)
+    k1 = _rand((1, 2, 256, 32), seed=9)
+    v1 = _rand((1, 2, 256, 32), seed=10)
+    a = jnp.float32(0.3)
+
+    def loss_flash(q, k0, v0, k1, v1):
+        return jnp.sum(sdpa2_flash(q, k0, v0, k1, v1, a) ** 2)
+
+    def loss_xla(q, k0, v0, k1, v1):
+        from afldm_tpu.ops.attention import sdpa2_xla
+        return jnp.sum(sdpa2_xla(q, k0, v0, k1, v1, a) ** 2)
+
+    g1 = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4)))(
+        q, k0, v0, k1, v1)
+    g2 = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4)))(
+        q, k0, v0, k1, v1)
+    for a_, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_attention_block_interp_fused_path():
+    """models.layers.Attention kv_override2 branch: blend-before-to_out +
+    fused kernel must equal the literal two-attention blend."""
+    from afldm_tpu.models.layers import Attention
+    attn = Attention(num_heads=2, groups=4)
+    x = _rand((2, 8, 8, 16), seed=11)
+    s0 = _rand((2, 8, 8, 16), seed=12)
+    s1 = _rand((2, 8, 8, 16), seed=13)
+    params = attn.init(jax.random.PRNGKey(0), x)
+    out, _ = attn.apply(params, x, kv_override=s0, kv_override2=s1,
+                        alpha=0.25)
+    # literal reference: two separate CFA attentions blended after to_out
+    o0, _ = attn.apply(params, x, kv_override=s0)
+    o1, _ = attn.apply(params, x, kv_override=s1)
+    # outputs include the residual; blend of residuals == residual
+    want = 0.75 * np.asarray(o0) + 0.25 * np.asarray(o1)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
