@@ -51,6 +51,17 @@ class ControlNetConfig:
                    alias_free=(u.alias_free if alias_free is None
                                else alias_free))
 
+    @classmethod
+    def from_diffusers(cls, cfg: dict, alias_free: bool = False):
+        """Build from a diffusers controlnet (or unet) config.json dict,
+        keeping only the keys this latent-conditioned variant uses."""
+        import dataclasses
+        names = {f.name for f in dataclasses.fields(cls)}
+        keep = {k: (tuple(v) if isinstance(v, list) else v)
+                for k, v in cfg.items() if k in names}
+        keep.setdefault("alias_free", alias_free)
+        return cls(**keep)
+
     def to_dict(self):
         return asdict(self)
 

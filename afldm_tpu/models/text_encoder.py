@@ -21,7 +21,10 @@ CLIP_VIT_L_TEXT_CONFIG = dict(
 
 class TextEncoder:
     def __init__(self, pretrained_dir: Optional[str] = None, seed: int = 0,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, tokenizer_dir: Optional[str] = None):
+        # diffusers pipeline layout keeps vocab/merges in a sibling
+        # tokenizer/ subfolder, not next to the text-model weights
+        tokenizer_dir = tokenizer_dir or pretrained_dir
         from transformers import CLIPTextConfig, FlaxCLIPTextModel
         if pretrained_dir:
             try:
@@ -37,11 +40,11 @@ class TextEncoder:
             self.model = FlaxCLIPTextModel(cfg, seed=seed, dtype=dtype)
         self.max_length = self.model.config.max_position_embeddings
         self._tokenizer = None
-        if pretrained_dir:
+        if tokenizer_dir:
             try:
                 from transformers import CLIPTokenizer
                 self._tokenizer = CLIPTokenizer.from_pretrained(
-                    pretrained_dir)
+                    tokenizer_dir)
             except Exception:
                 self._tokenizer = None
 

@@ -78,3 +78,79 @@ def load_pipeline(pipeline_dir, cls=LDMPipeline, scheduler_config=None,
         if state.get("vae"):
             pipe.vae_params = jax.device_put(state["vae"])
     return pipe
+
+
+def load_sd_components(pipeline_dir, dtype=jnp.float32):
+    """Load the SD-family components from a converted / trained pipeline
+    directory (the layout scripts/convert_reference_checkpoint.py emits:
+    ``unet_config.json`` with cross-attention keys, ``vae_config.json``,
+    optional ``controlnet_config.json``, optional ``text_encoder/`` +
+    ``tokenizer/`` subfolders, ``checkpoint-{n}``).
+
+    Returns a dict with ``unet/unet_params/vae/vae_params`` and, when
+    present, ``controlnet/controlnet_params``, ``text_encoder``,
+    ``scheduler_config`` — the constructor kwargs of the SD pipelines
+    (video editing / interpolation / normal control)."""
+    from ..models import (UNet2DConditionModel, UNet2DConditionConfig,
+                          ControlNetModel, ControlNetConfig)
+    from ..train.checkpoint import (latest_checkpoint,
+                                    restore_checkpoint_lenient)
+
+    unet_config = _load_json(os.path.join(pipeline_dir, "unet_config.json"))
+    vae_config = _load_json(os.path.join(pipeline_dir, "vae_config.json"))
+    ucfg = UNet2DConditionConfig.from_diffusers(unet_config)
+    vcfg = AutoencoderKLConfig.from_diffusers(vae_config)
+    unet = UNet2DConditionModel(ucfg, dtype=dtype)
+    vae = AutoencoderKL(vcfg, dtype=dtype)
+
+    key = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, ucfg.sample_size, ucfg.sample_size,
+                     ucfg.in_channels), jnp.float32)
+    res = ucfg.sample_size * vcfg.downsample_ratio
+    ehs = jnp.zeros((1, 77, ucfg.cross_attention_dim), jnp.float32)
+    k1, k2, k3 = jax.random.split(key, 3)
+    out = {"unet": unet,
+           "unet_params": jax.jit(unet.init)(k1, lat,
+                                             jnp.zeros((1,), jnp.int32),
+                                             ehs),
+           "vae": vae,
+           "vae_params": jax.jit(vae.init)(k2, jnp.zeros((1, res, res,
+                                                          vcfg.in_channels),
+                                                         jnp.float32))}
+
+    cn_cfg_path = os.path.join(pipeline_dir, "controlnet_config.json")
+    if os.path.exists(cn_cfg_path):
+        ccfg = ControlNetConfig.from_diffusers(_load_json(cn_cfg_path))
+        cn = ControlNetModel(ccfg, dtype=dtype)
+        out["controlnet"] = cn
+        out["controlnet_params"] = jax.jit(cn.init)(
+            k3, lat, jnp.zeros((1,), jnp.int32), ehs, lat)
+
+    ckpt = latest_checkpoint(pipeline_dir)
+    if ckpt is not None:
+        target = {"unet": jax.device_get(out["unet_params"]),
+                  "unet_ema": jax.device_get(out["unet_params"]),
+                  "vae": jax.device_get(out["vae_params"])}
+        if "controlnet" in out:
+            target["controlnet"] = jax.device_get(out["controlnet_params"])
+        state = restore_checkpoint_lenient(ckpt, target)
+        k = "unet_ema" if state.get("unet_ema") else "unet"
+        if state.get(k):
+            out["unet_params"] = jax.device_put(state[k])
+        if state.get("vae"):
+            out["vae_params"] = jax.device_put(state["vae"])
+        if state.get("controlnet"):
+            out["controlnet_params"] = jax.device_put(state["controlnet"])
+
+    te_dir = os.path.join(pipeline_dir, "text_encoder")
+    if os.path.isdir(te_dir):
+        from ..models.text_encoder import TextEncoder
+        tok = os.path.join(pipeline_dir, "tokenizer")
+        out["text_encoder"] = TextEncoder(
+            pretrained_dir=te_dir,
+            tokenizer_dir=tok if os.path.isdir(tok) else None)
+
+    sched = os.path.join(pipeline_dir, "scheduler_config.json")
+    if os.path.exists(sched):
+        out["scheduler_config"] = _load_json(sched)
+    return out

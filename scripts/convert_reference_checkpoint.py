@@ -91,8 +91,8 @@ def convert_component(subdir, kind, alias_free):
         cfg = ControlNetConfig.from_diffusers(cfg_dict,
                                               alias_free=alias_free)
         model = ControlNetModel(cfg)
-        lat = jnp.zeros((1, cfg.sample_size, cfg.sample_size,
-                         cfg.in_channels))
+        res = cfg_dict.get("sample_size", 32)
+        lat = jnp.zeros((1, res, res, cfg.in_channels))
         ehs = jnp.zeros((1, 77, cfg.cross_attention_dim))
         params = jax.jit(model.init)(key, lat, jnp.zeros((1,), jnp.int32),
                                      ehs, lat)
@@ -168,6 +168,11 @@ def convert_pipeline_dir(src, out, alias_free=True, lenient=False,
         ckpt_state["controlnet"] = state["controlnet"]
     save_checkpoint(out, 0, ckpt_state)
     wait_for_checkpoints()
+    # provenance marker: benchmark runners label these numbers 'converted'
+    # (vs 'trained'/'random') so parity evidence is never mislabeled
+    with open(os.path.join(out, "provenance.json"), "w") as f:
+        json.dump({"provenance": "converted",
+                   "source": os.path.abspath(src)}, f, indent=2)
     log(f"wrote {out} (checkpoint-0)")
     return out
 

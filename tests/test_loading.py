@@ -210,3 +210,102 @@ def test_convert_reference_checkpoint_rehearsal(tmp_path):
     got_mu = pipe.vae.apply(pipe.vae_params, x, method="encode")[0]
     np.testing.assert_allclose(np.asarray(got_mu), np.asarray(want_mu),
                                atol=1e-5)
+
+
+def test_convert_sd_checkpoint_with_controlnet(tmp_path):
+    """SD-family ingestion rehearsal: conditional UNet + controlnet +
+    text_encoder/tokenizer subfolders convert and load through
+    load_sd_components with weights preserved and the REAL tokenizer."""
+    import json
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    pytest.importorskip("safetensors")
+    pytest.importorskip("torch")
+    from safetensors.numpy import save_file
+    from transformers import CLIPTextConfig, CLIPTextModel
+
+    from afldm_tpu.models import (UNet2DConditionModel,
+                                  UNet2DConditionConfig, ControlNetModel,
+                                  ControlNetConfig, AutoencoderKL,
+                                  AutoencoderKLConfig)
+    from afldm_tpu.models.convert import flax_to_torch
+    from afldm_tpu.pipelines.loading import load_sd_components
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    from convert_reference_checkpoint import convert_pipeline_dir
+
+    unet_cfg = {"sample_size": 8, "in_channels": 4, "out_channels": 4,
+                "down_block_types": ["CrossAttnDownBlock2D", "DownBlock2D"],
+                "up_block_types": ["UpBlock2D", "CrossAttnUpBlock2D"],
+                "block_out_channels": [16, 32], "layers_per_block": 1,
+                "attention_head_dim": 2, "cross_attention_dim": 16,
+                "norm_num_groups": 8}
+    vae_cfg = {"block_out_channels": [8, 8], "layers_per_block": 1,
+               "latent_channels": 4, "norm_num_groups": 4,
+               "sample_size": 16, "scaling_factor": 0.6}
+
+    key = jax.random.PRNGKey(3)
+    ucfg = UNet2DConditionConfig.from_diffusers(unet_cfg, alias_free=True)
+    unet = UNet2DConditionModel(ucfg)
+    vae = AutoencoderKL(AutoencoderKLConfig.from_diffusers(vae_cfg))
+    ccfg = ControlNetConfig.from_unet_config(ucfg)
+    cn = ControlNetModel(ccfg)
+    lat = jnp.zeros((1, 8, 8, 4))
+    ehs = jnp.zeros((1, 77, 16))
+    k1, k2, k3 = jax.random.split(key, 3)
+    up = unet.init(k1, lat, jnp.zeros((1,), jnp.int32), ehs)
+    vp = vae.init(k2, jnp.zeros((1, 16, 16, 3)))
+    cp = cn.init(k3, lat, jnp.zeros((1,), jnp.int32), ehs, lat)
+
+    src = tmp_path / "hub"
+    cn_diffusers_cfg = dict(unet_cfg)  # controlnet config mirrors the unet's
+    for sub, cfg, params in (("unet", unet_cfg, up), ("vae", vae_cfg, vp),
+                             ("controlnet", cn_diffusers_cfg, cp)):
+        (src / sub).mkdir(parents=True)
+        (src / sub / "config.json").write_text(json.dumps(cfg))
+        save_file({k: np.ascontiguousarray(v)
+                   for k, v in flax_to_torch(params).items()},
+                  str(src / sub / "diffusion_pytorch_model.safetensors"))
+
+    # tiny real CLIP text encoder + vocab (zero egress)
+    toks = (["<|startoftext|>", "<|endoftext|>"]
+            + [c for c in "abcdefghij"] + [c + "</w>" for c in "abcdefghij"])
+    vocab = {t: i for i, t in enumerate(toks)}
+    (src / "tokenizer").mkdir()
+    (src / "tokenizer" / "vocab.json").write_text(json.dumps(vocab))
+    (src / "tokenizer" / "merges.txt").write_text("#version: 0.2\n")
+    tc = CLIPTextConfig(vocab_size=len(vocab), hidden_size=16,
+                        intermediate_size=32, num_hidden_layers=2,
+                        num_attention_heads=2, max_position_embeddings=12,
+                        projection_dim=16,
+                        bos_token_id=vocab["<|startoftext|>"],
+                        eos_token_id=vocab["<|endoftext|>"])
+    (src / "text_encoder").mkdir()
+    CLIPTextModel(tc).save_pretrained(src / "text_encoder")
+
+    out = str(tmp_path / "converted")
+    convert_pipeline_dir(str(src), out, alias_free=True, log=lambda *a: None)
+    parts = load_sd_components(out)
+
+    # weights preserved through torch round-trip
+    r = np.random.default_rng(0)
+    z = jnp.asarray(r.standard_normal((1, 8, 8, 4)), jnp.float32)
+    e = jnp.asarray(r.standard_normal((1, 77, 16)), jnp.float32)
+    t = jnp.asarray([5], jnp.int32)
+    want, _ = unet.apply(up, z, t, e)
+    got, _ = parts["unet"].apply(parts["unet_params"], z, t, e)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    wd, wm, _ = cn.apply(cp, z, t, e, z)
+    gd, gm, _ = parts["controlnet"].apply(parts["controlnet_params"], z, t,
+                                          e, z)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(wm), atol=1e-5)
+    for a, b in zip(gd, wd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # real tokenizer branch active (from the tokenizer/ subfolder)
+    te = parts["text_encoder"]
+    assert te._tokenizer is not None
+    ids = te.tokenize(["abc"])
+    assert ids.shape == (1, 12)
