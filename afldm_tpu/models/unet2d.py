@@ -48,6 +48,14 @@ class UNet2DConfig:
     freq_shift: int = 0
     # alias-free switches (reference: make_af_unet wraps every block)
     alias_free: bool = False
+    # independent override for the activation sandwich: None follows
+    # alias_free; setting it lets ablations separate the filtered-act cost
+    # from the FFT resamplers (roofline attribution)
+    filtered_act: Optional[bool] = None
+
+    def resolved_filtered_act(self) -> bool:
+        return self.alias_free if self.filtered_act is None \
+            else self.filtered_act
 
     @classmethod
     def from_diffusers(cls, cfg: dict, alias_free: bool = False):
@@ -210,7 +218,7 @@ class UNet2DModel(nn.Module):
                 num_layers=cfg.layers_per_block,
                 head_dim=cfg.attention_head_dim,
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
-                act_fn=cfg.act_fn, filtered_act=cfg.alias_free,
+                act_fn=cfg.act_fn, filtered_act=cfg.resolved_filtered_act(),
                 alias_free=cfg.alias_free,
                 add_downsample=not is_final,
                 downsample_padding=cfg.downsample_padding,
@@ -223,7 +231,7 @@ class UNet2DModel(nn.Module):
             channels=cfg.block_out_channels[-1],
             head_dim=cfg.attention_head_dim,
             groups=cfg.norm_num_groups, eps=cfg.norm_eps, act_fn=cfg.act_fn,
-            filtered_act=cfg.alias_free, add_attention=cfg.add_attention,
+            filtered_act=cfg.resolved_filtered_act(), add_attention=cfg.add_attention,
             dropout=cfg.dropout, dtype=self.dtype,
             name="mid_block")(x, temb, kv, deterministic)
 
@@ -238,7 +246,7 @@ class UNet2DModel(nn.Module):
                 num_layers=n_res,
                 head_dim=cfg.attention_head_dim,
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
-                act_fn=cfg.act_fn, filtered_act=cfg.alias_free,
+                act_fn=cfg.act_fn, filtered_act=cfg.resolved_filtered_act(),
                 alias_free=cfg.alias_free,
                 add_upsample=not is_final,
                 use_attention=btype.startswith("Attn"),

@@ -1,0 +1,109 @@
+"""Per-op-class roofline attribution for the batch-8 bf16 denoise step
+(VERDICT r2 item 6): measure the full FFHQ UNet denoise step, then ablate
+one op class at a time (attention -> identity-ish, filtered activations ->
+plain, alias-free resamplers -> naive) and attribute the time delta to
+that class. Ablation timing is the honest instrument on this relay
+backend, where per-op profiler traces aren't retrievable.
+
+Run on the real TPU, ONE job on the relay:
+
+  python scripts/roofline_denoise.py [--batch 8] [--dtype bf16]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--dtype", type=str, default="bf16",
+                   choices=["f32", "bf16"])
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--out", type=str, default="results/roofline_denoise.json")
+    args = p.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    from afldm_tpu.models import UNet2DModel, UNet2DConfig
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ucfg_json = json.load(open(os.path.join(root,
+                                            "configs/ldm/model_unet.json")))
+    dt = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
+
+    def build(alias_free=True, add_attention=True, filtered_act=None):
+        cfg_d = dict(ucfg_json)
+        if not add_attention:
+            # drop the attention blocks entirely (DownBlock2D / UpBlock2D)
+            cfg_d["down_block_types"] = [
+                t.replace("AttnDownBlock2D", "DownBlock2D")
+                for t in cfg_d["down_block_types"]]
+            cfg_d["up_block_types"] = [
+                t.replace("AttnUpBlock2D", "UpBlock2D")
+                for t in cfg_d["up_block_types"]]
+            cfg_d["add_attention"] = False
+        if filtered_act is not None:
+            cfg_d["filtered_act"] = filtered_act
+        cfg = UNet2DConfig.from_diffusers(cfg_d, alias_free=alias_free)
+        model = UNet2DModel(cfg, dtype=dt)
+        lat = jnp.zeros((args.batch, cfg.sample_size, cfg.sample_size,
+                         cfg.in_channels), dt)
+        t = jnp.zeros((args.batch,), jnp.int32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), lat, t)
+
+        @jax.jit
+        def step(params, z, t):
+            return model.apply(params, z, t)[0]
+
+        return step, params, lat, t
+
+    def measure(step, params, lat, t):
+        float(step(params, lat, t).sum())   # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            # in-graph scalar materialization (CLAUDE.md: block_until_ready
+            # may return early on this backend)
+            float(step(params, lat, t).sum())
+        return (time.perf_counter() - t0) / args.iters
+
+    rows = {}
+    base = measure(*build(alias_free=True, add_attention=True))
+    rows["full_af_step_ms"] = round(base * 1e3, 3)
+    no_attn = measure(*build(alias_free=True, add_attention=False))
+    rows["no_attention_ms"] = round(no_attn * 1e3, 3)
+    naive = measure(*build(alias_free=False, add_attention=True))
+    rows["naive_resample_plain_act_ms"] = round(naive * 1e3, 3)
+    # split the AF machinery: filtered activations vs FFT resamplers
+    plain_act = measure(*build(alias_free=True, add_attention=True,
+                               filtered_act=False))
+    rows["af_resample_plain_act_ms"] = round(plain_act * 1e3, 3)
+    act_only = measure(*build(alias_free=False, add_attention=True,
+                              filtered_act=True))
+    rows["naive_resample_filtered_act_ms"] = round(act_only * 1e3, 3)
+    naive_noattn = measure(*build(alias_free=False, add_attention=False))
+    rows["conv_core_ms"] = round(naive_noattn * 1e3, 3)
+
+    rows["attention_share"] = round(1 - no_attn / base, 3)
+    rows["af_machinery_share"] = round(1 - naive / base, 3)
+    rows["filtered_act_share"] = round(1 - plain_act / base, 3)
+    rows["af_resample_share"] = round((plain_act - naive) / base, 3)
+    rows["batch"] = args.batch
+    rows["dtype"] = args.dtype
+    print(json.dumps(rows, indent=2))
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,32 @@ def test_unet_cfa_interp_blends(rng):
                                atol=1e-5)
 
 
+def test_filtered_act_override(rng):
+    """UNet2DConfig.filtered_act independently toggles the activation
+    sandwich: None follows alias_free, an explicit value overrides it, the
+    param tree is unchanged, and the output actually differs (the ablation
+    knob scripts/roofline_denoise.py relies on)."""
+    import dataclasses
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
+    t = jnp.asarray([100])
+    cfg_af = dataclasses.replace(TINY_UNET, alias_free=True)
+    cfg_plain = dataclasses.replace(TINY_UNET, alias_free=True,
+                                    filtered_act=False)
+    assert cfg_af.resolved_filtered_act() is True
+    assert cfg_plain.resolved_filtered_act() is False
+    assert UNet2DConfig.from_diffusers(
+        cfg_plain.to_dict()).resolved_filtered_act() is False
+    m_af, m_plain = UNet2DModel(cfg_af), UNet2DModel(cfg_plain)
+    params = m_af.init(jax.random.PRNGKey(0), x, t)
+    # same param tree: the override is compute-only
+    p2 = m_plain.init(jax.random.PRNGKey(0), x, t)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(p2)
+    out_af, _ = m_af.apply(params, x, t)
+    out_plain, _ = m_plain.apply(params, x, t)
+    assert np.abs(np.asarray(out_af) - np.asarray(out_plain)).max() > 1e-5
+
+
 def test_af_params_identical_to_naive(rng):
     """One checkpoint serves both wirings (the AF downsampler reuses the
     stride-2 conv weights, af_blocks.py:128-129)."""
