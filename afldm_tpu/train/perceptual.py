@@ -22,7 +22,10 @@ def _make_random_filters(seed=0, stages=((8, 3), (16, 8), (32, 16))):
     for out_c, in_c in stages:
         w = rng.standard_normal((3, 3, in_c, out_c)).astype(np.float32)
         w /= np.sqrt(9 * in_c)
-        filters.append([jnp.asarray(w)])  # one conv per stage
+        # cache as numpy: building jnp arrays here would capture tracers if
+        # the first call happens inside a jit trace (they'd leak into every
+        # later trace via _DEFAULT_FILTERS)
+        filters.append([w])  # one conv per stage
     return filters
 
 
@@ -87,9 +90,8 @@ def load_lpips_vgg_features(path, set_default=True):
         for i in idxs:
             w = found[i]["weight"].transpose(2, 3, 1, 0)  # OIHW -> HWIO
             b = found[i].get("bias")
-            convs.append((jnp.asarray(w.astype(np.float32)),
-                          None if b is None
-                          else jnp.asarray(b.astype(np.float32))))
+            convs.append((w.astype(np.float32),
+                          None if b is None else b.astype(np.float32)))
         stages.append(convs)
 
     if set_default:

@@ -76,9 +76,21 @@ def main():
             float(step(params, lat, t).sum())
         return (time.perf_counter() - t0) / args.iters
 
+    from afldm_tpu.ops import set_af_precision
+
     rows = {}
     base = measure(*build(alias_free=True, add_attention=True))
     rows["full_af_step_ms"] = round(base * 1e3, 3)
+    # MXU precision of the circulant filtered-act matmuls: HIGHEST is the
+    # 6-pass exact default; "high" (3-pass, ~4e-5 err) and DEFAULT (raw
+    # bf16 MXU) trade exactness for time — candidate MFU lever
+    for prec in ("high", "default"):
+        set_af_precision(prec)
+        try:
+            t = measure(*build(alias_free=True, add_attention=True))
+            rows[f"full_af_step_prec_{prec}_ms"] = round(t * 1e3, 3)
+        finally:
+            set_af_precision("highest")
     no_attn = measure(*build(alias_free=True, add_attention=False))
     rows["no_attention_ms"] = round(no_attn * 1e3, 3)
     naive = measure(*build(alias_free=False, add_attention=True))
