@@ -47,7 +47,7 @@ def slerp(a, b, t):
 class ImageInterpolationPipeline:
     def __init__(self, vae, vae_params, unet, unet_params, scheduler,
                  text_encoder=None, flow_fn: Optional[Callable] = None,
-                 scaling_factor=None):
+                 scaling_factor=None, mesh=None):
         self.vae = vae
         self.vae_params = vae_params
         self.unet = unet
@@ -57,7 +57,21 @@ class ImageInterpolationPipeline:
         self.flow_fn = flow_fn
         self.scaling_factor = (scaling_factor if scaling_factor is not None
                                else vae.config.scaling_factor)
+        self.mesh = mesh
         self._fns = {}
+
+    def _shard_frames(self, *arrs):
+        """Frame-axis (sequence) sharding for the joint interp denoise:
+        each frame attends only to the two replicated endpoint KV
+        trajectories (SURVEY.md §5.7), so placing the leading frame dim
+        over the mesh 'data' axis lets GSPMD compile a collective-free
+        frame-parallel denoise + decode."""
+        if self.mesh is None or self.mesh.shape.get("data", 1) <= 1:
+            return arrs if len(arrs) > 1 else arrs[0]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P("data"))
+        out = tuple(jax.device_put(a, sh) for a in arrs)
+        return out if len(out) > 1 else out[0]
 
     def _vae_fn(self, method):
         # jit ONCE per pipeline: a fresh jax.jit(partial(...)) per call
@@ -208,11 +222,15 @@ class ImageInterpolationPipeline:
         _, kv0 = store(self.unet_params, inv0, ehs1)
         _, kv1 = store(self.unet_params, inv1, ehs1)
 
-        # joint interp denoise: all frames batched, per-frame alpha
+        # joint interp denoise: all frames batched, per-frame alpha;
+        # with mesh= the frame axis shards over 'data' (kv0/kv1 replicated)
         interp = self._scan("interp", num_inference_steps)
         ehsN = self._prompt(prompt, num_frames)
-        out = interp(self.unet_params, noises, ehsN, kv0, kv1,
-                     jnp.asarray(alphas, jnp.float32)[:, None, None])
+        a_frames = jnp.asarray(alphas, jnp.float32)[:, None, None]
+        if self.mesh is not None and num_frames > 1:
+            noises, ehsN, a_frames = self._shard_frames(noises, ehsN,
+                                                        a_frames)
+        out = interp(self.unet_params, noises, ehsN, kv0, kv1, a_frames)
 
         images = self.decode(out)
         if output_type == "np":

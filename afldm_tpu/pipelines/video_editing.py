@@ -12,7 +12,12 @@ TPU-native structure:
   (ref save_activations :612-649),
 - one scan denoises ALL frames jointly (CFG batch of 2N) with per-step KV
   LOAD — the reference's python loop over timesteps x frames collapses into
-  a single compiled program.
+  a single compiled program,
+- with ``mesh=`` the joint pass shards the FRAME axis over the mesh's
+  'data' axis (SURVEY.md §5.7: frames are embarrassingly parallel between
+  CFA syncs — every frame attends only to the replicated frame-0 KV
+  trajectory, so GSPMD compiles a collective-free denoise and the videos
+  that overflow one chip scale across the slice).
 """
 
 from functools import partial
@@ -25,7 +30,7 @@ from ..models.vae import gaussian_sample
 
 class VideoEquivEditingPipeline:
     def __init__(self, vae, vae_params, unet, unet_params, scheduler,
-                 text_encoder=None, scaling_factor=None):
+                 text_encoder=None, scaling_factor=None, mesh=None):
         self.vae = vae
         self.vae_params = vae_params
         self.unet = unet
@@ -34,7 +39,20 @@ class VideoEquivEditingPipeline:
         self.text_encoder = text_encoder
         self.scaling_factor = (scaling_factor if scaling_factor is not None
                                else vae.config.scaling_factor)
+        self.mesh = mesh
         self._fns = {}
+
+    def _shard_frames(self, *arrs):
+        """Frame-axis (sequence) sharding: place (N, ...) / (2N, ...)
+        arrays with the leading frame dim over the mesh 'data' axis; the
+        jitted scans propagate the sharding (compute follows data), so the
+        joint denoise and the VAE decode run frame-parallel."""
+        if self.mesh is None or self.mesh.shape.get("data", 1) <= 1:
+            return arrs if len(arrs) > 1 else arrs[0]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P("data"))
+        out = tuple(jax.device_put(a, sh) for a in arrs)
+        return out if len(out) > 1 else out[0]
 
     # -- helpers ----------------------------------------------------------------
 
@@ -191,6 +209,8 @@ class VideoEquivEditingPipeline:
                                             n_frames)
         ehsN = jnp.concatenate([uncondN, condN], axis=0)
         load = self._cfg_scan(n_steps, "load")
+        if self.mesh is not None and n_frames > 1:
+            init_latents, ehsN = self._shard_frames(init_latents, ehsN)
         out_latents, _ = load(self.unet_params, init_latents, ts, ts_prev,
                               ehsN, jnp.float32(guidance_scale), kv_traj,
                               jnp.float32(guidance_rescale))

@@ -33,6 +33,10 @@ class BaseTrainingConfig:
     # Adam state and EMA shard their output channels across it —
     # parallel/sharding_rules.py)
     model_parallel: int = 1
+    # FSDP (ZeRO-3 by GSPMD annotation): shard params + Adam state + EMA
+    # over the 'data' axis too; XLA all-gathers weight shards per use and
+    # reduce-scatters grads (parallel/sharding_rules.py)
+    fsdp: bool = False
 
     is_imagenet: bool = False
     prompt_dropout: float = 0.0

@@ -133,11 +133,14 @@ class Trainer(abc.ABC):
         return jax.device_put(tree, self.replicated)
 
     def state_shardings(self, tree):
-        """TP-aware placement tree: parameter-shaped leaves shard their
-        output channels over the 'model' axis (parallel/sharding_rules);
-        with model_parallel == 1 this is plain replication."""
+        """TP/FSDP-aware placement tree: parameter-shaped leaves shard
+        their output channels over the 'model' axis, and (with
+        ``base_cfg.fsdp``) a second large dim over 'data'
+        (parallel/sharding_rules); with model_parallel == 1 and fsdp off
+        this is plain replication."""
         from ..parallel.sharding_rules import tree_shardings
-        return tree_shardings(tree, self.mesh)
+        return tree_shardings(tree, self.mesh,
+                              fsdp=getattr(self.base_cfg, "fsdp", False))
 
     def place_state(self, tree):
         return jax.device_put(tree, self.state_shardings(tree))

@@ -32,6 +32,10 @@ def parse_args():
                         "GMFlow port instead of the built-in LK flow")
     p.add_argument("--no_slerp", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--shard_frames", action="store_true",
+                   help="shard the frame axis of the joint interp denoise "
+                        "over all devices (frames only couple through the "
+                        "two replicated endpoint KV trajectories)")
     return p.parse_args()
 
 
@@ -108,12 +112,17 @@ def main():
     else:
         flows = predict_flow(img0, img1)
 
+    mesh = None
+    if args.shard_frames:
+        from afldm_tpu.parallel import create_mesh
+        mesh = create_mesh()
     pipe = ImageInterpolationPipeline(
         vae, vp, unet, up,
         DDIMScheduler(beta_end=0.012, beta_schedule="scaled_linear",
                       beta_start=0.00085, clip_sample=False,
                       num_train_timesteps=1000, set_alpha_to_one=False,
-                      steps_offset=1, timestep_spacing="leading"))
+                      steps_offset=1, timestep_spacing="leading"),
+        mesh=mesh)
 
     out = pipe(img0, img1, num_frames=args.num_frames,
                num_inference_steps=args.num_inference_steps,

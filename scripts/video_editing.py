@@ -29,6 +29,10 @@ def parse_args():
                    default="results/video_edit.gif")
     p.add_argument("--pipeline_dir", type=str, default=None)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--shard_frames", action="store_true",
+                   help="shard the frame axis of the joint denoise over "
+                        "all devices (sequence parallelism; frames only "
+                        "couple through the replicated frame-0 KV)")
     return p.parse_args()
 
 
@@ -103,12 +107,17 @@ def main():
                             jnp.zeros((1, 77, ucfg.cross_attention_dim)))
     vp = jax.jit(vae.init)(k2, jnp.zeros((1, res, res, 3)))
 
+    mesh = None
+    if args.shard_frames:
+        from afldm_tpu.parallel import create_mesh
+        mesh = create_mesh()
     pipe = VideoEquivEditingPipeline(
         vae, vp, unet, up,
         DDIMScheduler(beta_end=0.012, beta_schedule="scaled_linear",
                       beta_start=0.00085, clip_sample=False,
                       num_train_timesteps=1000, set_alpha_to_one=False,
-                      steps_offset=1, timestep_spacing="leading"))
+                      steps_offset=1, timestep_spacing="leading"),
+        mesh=mesh)
 
     frames = jnp.asarray(load_frames(args.input_video, res,
                                      args.max_frames))

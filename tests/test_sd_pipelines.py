@@ -131,6 +131,33 @@ def test_video_editing_pipeline(sd_parts):
     assert float(np.abs(out_r - out0).max()) > 1e-6
 
 
+def test_video_editing_frame_sharding(sd_parts):
+    """Frame-axis (sequence) sharding over the mesh 'data' axis must
+    reproduce the single-device joint denoise bit-for-bit at f32 tolerance
+    (SURVEY.md §5.7: frames only couple through the replicated frame-0 KV
+    trajectory)."""
+    from jax.sharding import Mesh
+
+    unet, up, vae, vp = sd_parts
+    frames = jax.random.normal(jax.random.PRNGKey(5), (8, 64, 64, 3)) * 0.3
+
+    def run(mesh):
+        pipe = VideoEquivEditingPipeline(vae, vp, unet, up,
+                                         DDIMScheduler(**DDIM_CFG),
+                                         text_encoder=_ZeroTextEncoder(),
+                                         mesh=mesh)
+        return pipe(frames, "a prompt", strength=0.5,
+                    num_inference_steps=3, guidance_scale=2.0,
+                    key=jax.random.PRNGKey(6))
+
+    base = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),
+                ("data", "model"))
+    sharded = run(mesh)
+    assert sharded.shape == (8, 64, 64, 3)
+    np.testing.assert_allclose(sharded, base, atol=2e-5)
+
+
 def test_video_editing_inversion_path(sd_parts):
     unet, up, vae, vp = sd_parts
     pipe = VideoEquivEditingPipeline(vae, vp, unet, up,
@@ -155,6 +182,33 @@ def test_interpolation_pipeline(sd_parts):
                key=jax.random.PRNGKey(10))
     assert out.shape == (3, 64, 64, 3)
     assert np.isfinite(out).all()
+
+
+def test_interpolation_frame_sharding(sd_parts):
+    """Frame-axis sharding of the joint interp denoise over the mesh
+    'data' axis must reproduce the single-device result (frames couple
+    only through the two replicated endpoint KV trajectories)."""
+    from jax.sharding import Mesh
+    from afldm_tpu.shift.simple_flow import predict_flow
+
+    unet, up, vae, vp = sd_parts
+    img0 = jax.random.normal(jax.random.PRNGKey(13), (1, 64, 64, 3)) * 0.3
+    img1 = jnp.roll(img0, 8, axis=2)
+
+    def run(mesh):
+        pipe = ImageInterpolationPipeline(vae, vp, unet, up,
+                                          DDIMScheduler(**DDIM_CFG),
+                                          text_encoder=_ZeroTextEncoder(),
+                                          flow_fn=predict_flow, mesh=mesh)
+        return pipe(img0, img1, num_frames=8, num_inference_steps=2,
+                    key=jax.random.PRNGKey(14))
+
+    base = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),
+                ("data", "model"))
+    sharded = run(mesh)
+    assert sharded.shape == (8, 64, 64, 3)
+    np.testing.assert_allclose(sharded, base, atol=2e-5)
 
 
 def test_interpolation_endpoint_consistency(sd_parts):

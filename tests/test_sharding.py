@@ -124,3 +124,112 @@ def test_tensor_parallel_matches_data_parallel(tmp_path):
     dp = run(1)
     tp = run(4)
     np.testing.assert_allclose(tp, dp, rtol=2e-4)
+
+
+def test_fsdp_matches_data_parallel(tmp_path):
+    """fsdp=True (ZeRO-3 by GSPMD annotation) must reproduce the pure-DP
+    losses while actually sharding params + Adam state over 'data'."""
+    from afldm_tpu.train import (BaseTrainingConfig, LDMTrainingConfig,
+                                 SyntheticDataset, epoch_batches,
+                                 create_trainer)
+    from afldm_tpu.models import UNet2DConfig, AutoencoderKLConfig
+
+    vae_cfg = AutoencoderKLConfig(
+        block_out_channels=(8, 8), layers_per_block=1, latent_channels=4,
+        norm_num_groups=4, sample_size=16, scaling_factor=0.6)
+    unet_cfg = UNet2DConfig(
+        sample_size=8, in_channels=4, out_channels=4,
+        down_block_types=("DownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "UpBlock2D"),
+        block_out_channels=(16, 32), layers_per_block=1,
+        attention_head_dim=8, norm_num_groups=4, alias_free=True)
+    sched_cfg = dict(num_train_timesteps=100, beta_schedule="scaled_linear",
+                     beta_start=0.0015, beta_end=0.0195, clip_sample=False)
+    ds = SyntheticDataset(resolution=16, length=32)
+
+    def run(fsdp):
+        base = BaseTrainingConfig(
+            logging_dir="logs", output_dir=str(tmp_path), resolution=16,
+            train_batch_size=8, num_epochs=1, seed=0, fsdp=fsdp)
+        cfg = LDMTrainingConfig(vae_path="", scheduler_path="",
+                                use_shift_loss=False, use_cross_attn=False,
+                                use_ema=True, learning_rate=1e-3,
+                                lr_warmup_steps=0)
+        tr = create_trainer("ldm", base, cfg)
+        tr.init_modules(vae_config=vae_cfg, unet_config=unet_cfg,
+                        scheduler_config=sched_cfg)
+        tr.init_optimizers(10)
+        tr.prepare_modules()
+        if fsdp:
+            # at least one parameter (and its Adam state, which follows the
+            # same shape rules) actually sharded over 'data'
+            shardings = jax.tree_util.tree_leaves(
+                tr.state_shardings(tr.state.params))
+            assert any("data" in str(s.spec) for s in shardings)
+            leaves = jax.tree_util.tree_leaves(tr.state.params)
+            assert any(
+                next(iter(p.addressable_shards)).data.size < p.size
+                for p in leaves)
+        losses = []
+        for i, batch in enumerate(epoch_batches(ds, 8, seed=1)):
+            losses.append(tr.training_step(i, batch)["train_loss"])
+            if i >= 2:
+                break
+        return losses
+
+    dp = run(False)
+    fs = run(True)
+    np.testing.assert_allclose(fs, dp, rtol=2e-4)
+
+
+def test_fsdp_tp_compose(tmp_path):
+    """fsdp=True + model_parallel=2 (mesh 4x2): TP takes output channels,
+    FSDP takes input channels — disjoint dims on the same kernels — and
+    the losses still match pure DP."""
+    from afldm_tpu.train import (BaseTrainingConfig, LDMTrainingConfig,
+                                 SyntheticDataset, epoch_batches,
+                                 create_trainer)
+    from afldm_tpu.models import UNet2DConfig, AutoencoderKLConfig
+
+    vae_cfg = AutoencoderKLConfig(
+        block_out_channels=(8, 8), layers_per_block=1, latent_channels=4,
+        norm_num_groups=4, sample_size=16, scaling_factor=0.6)
+    unet_cfg = UNet2DConfig(
+        sample_size=8, in_channels=4, out_channels=4,
+        down_block_types=("DownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "UpBlock2D"),
+        block_out_channels=(16, 32), layers_per_block=1,
+        attention_head_dim=8, norm_num_groups=4, alias_free=True)
+    sched_cfg = dict(num_train_timesteps=100, beta_schedule="scaled_linear",
+                     beta_start=0.0015, beta_end=0.0195, clip_sample=False)
+    ds = SyntheticDataset(resolution=16, length=32)
+
+    def run(model_parallel, fsdp):
+        base = BaseTrainingConfig(
+            logging_dir="logs", output_dir=str(tmp_path), resolution=16,
+            train_batch_size=8, num_epochs=1, seed=0,
+            model_parallel=model_parallel, fsdp=fsdp)
+        cfg = LDMTrainingConfig(vae_path="", scheduler_path="",
+                                use_shift_loss=False, use_cross_attn=False,
+                                use_ema=False, learning_rate=1e-3,
+                                lr_warmup_steps=0)
+        tr = create_trainer("ldm", base, cfg)
+        tr.init_modules(vae_config=vae_cfg, unet_config=unet_cfg,
+                        scheduler_config=sched_cfg)
+        tr.init_optimizers(10)
+        tr.prepare_modules()
+        if fsdp and model_parallel > 1:
+            specs = [str(s.spec) for s in jax.tree_util.tree_leaves(
+                tr.state_shardings(tr.state.params))]
+            # at least one kernel carries BOTH axes (TP out-ch + FSDP in-ch)
+            assert any("model" in s and "data" in s for s in specs)
+        losses = []
+        for i, batch in enumerate(epoch_batches(ds, 8, seed=1)):
+            losses.append(tr.training_step(i, batch)["train_loss"])
+            if i >= 2:
+                break
+        return losses
+
+    dp = run(1, False)
+    both = run(2, True)
+    np.testing.assert_allclose(both, dp, rtol=2e-4)
