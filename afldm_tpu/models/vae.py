@@ -49,10 +49,16 @@ class AutoencoderKLConfig:
     def from_diffusers(cls, cfg: dict, alias_free: Optional[bool] = None):
         keep = {k: v for k, v in cfg.items()
                 if k in cls.__dataclass_fields__ and not k.startswith("_")}
-        if alias_free is None:
-            # an AF config is recognizable by its extra keys
-            alias_free = "up_rescale" in cfg or cfg.get("fft_rescale", False)
-        keep["alias_free"] = alias_free
+        # precedence: explicit "alias_free" key in the dict > kwarg >
+        # heuristic. The heuristic (an AF config is recognizable by its
+        # extra keys) must never clobber an explicit false — a config can
+        # legitimately retain AF shape keys while disabling the wiring
+        # (flagship naive arm; see tests/test_config_precedence.py).
+        if "alias_free" not in keep:
+            if alias_free is None:
+                alias_free = ("up_rescale" in cfg
+                              or cfg.get("fft_rescale", False))
+            keep["alias_free"] = alias_free
         return cls(**keep)
 
     def to_dict(self):

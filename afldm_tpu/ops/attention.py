@@ -436,6 +436,14 @@ def sdpa2(q, k0, v0, k1, v1, alpha, scale=None):
             and bh >= _FLASH_MIN_BATCH_HEADS)
         wins = long_q and k0.shape[-2] >= _FLASH_MIN_K
         if forced or (wins and not _interpret()):
+            if not _SDPA2_FUSED:
+                # measurement knob (set_sdpa2_fused): same flash kernels,
+                # two passes + blend — isolates exactly the two-KV fusion
+                o0 = sdpa_flash(q, k0, v0, scale)
+                o1 = sdpa_flash(q, k1, v1, scale)
+                a = jnp.asarray(alpha, jnp.float32)
+                a = a.reshape(a.shape + (1,) * (o0.ndim - a.ndim))
+                return (1.0 - a) * o0 + a * o1
             return sdpa2_flash(q, k0, v0, k1, v1, alpha, scale)
     return sdpa2_xla(q, k0, v0, k1, v1, alpha, scale)
 
@@ -453,6 +461,15 @@ _FLASH_MIN_K = 512
 _FLASH_MIN_Q_BATCHED = 1024   # enough rows amortize the kernel at 1024 tokens
 _FLASH_MIN_BATCH_HEADS = 64
 _IMPL = "auto"
+_SDPA2_FUSED = True
+
+
+def set_sdpa2_fused(fused: bool):
+    """Measurement knob for the two-KV CFA-interp attention: False routes
+    sdpa2 through two single-KV flash passes + blend instead of the fused
+    one-pass kernel. Trace-time, like set_attention_impl."""
+    global _SDPA2_FUSED
+    _SDPA2_FUSED = bool(fused)
 
 
 def set_attention_impl(impl: str):

@@ -46,8 +46,13 @@ def init_random_pipeline(unet_config, vae_config, scheduler_config,
 
 
 def load_pipeline(pipeline_dir, cls=LDMPipeline, scheduler_config=None,
-                  use_ema=True, dtype=jnp.float32):
-    """Load a pipeline saved by a trainer's ``save_pipeline``."""
+                  use_ema=True, dtype=jnp.float32, allow_random=False):
+    """Load a pipeline saved by a trainer's ``save_pipeline``.
+
+    Fails loud (VERDICT r3 item 4): a missing ``checkpoint-{n}`` dir or a
+    missing unet/vae param subtree raises unless ``allow_random=True`` —
+    the repo's acceptance metrics are PSNR numbers, and a typo'd path must
+    never silently score random weights."""
     from ..train.checkpoint import (latest_checkpoint,
                                     restore_checkpoint_lenient)
 
@@ -64,23 +69,35 @@ def load_pipeline(pipeline_dir, cls=LDMPipeline, scheduler_config=None,
     pipe = init_random_pipeline(unet_config, vae_config, scheduler_config,
                                 cls=cls, dtype=dtype)
     ckpt = latest_checkpoint(pipeline_dir)
-    if ckpt is not None:
-        target = {"unet": jax.device_get(pipe.unet_params),
-                  "unet_ema": jax.device_get(pipe.unet_params),
-                  "vae": jax.device_get(pipe.vae_params)}
-        # lenient restore adapts to what the dir actually holds (EMA off
-        # saved as {}, vae-only / unet-only pipelines); it raises on real
-        # corruption instead of silently returning random params
-        state = restore_checkpoint_lenient(ckpt, target)
-        key = "unet_ema" if use_ema and state.get("unet_ema") else "unet"
-        if state.get(key):
-            pipe.unet_params = jax.device_put(state[key])
-        if state.get("vae"):
-            pipe.vae_params = jax.device_put(state["vae"])
+    if ckpt is None:
+        if not allow_random:
+            raise FileNotFoundError(
+                f"no checkpoint-* directory under {pipeline_dir!r}; pass "
+                "allow_random=True to score random-initialized weights")
+        return pipe
+    target = {"unet": jax.device_get(pipe.unet_params),
+              "unet_ema": jax.device_get(pipe.unet_params),
+              "vae": jax.device_get(pipe.vae_params)}
+    # lenient restore adapts to what the dir actually holds (EMA off is
+    # saved as {}); it raises on real corruption instead of silently
+    # returning random params
+    state = restore_checkpoint_lenient(ckpt, target)
+    key = "unet_ema" if use_ema and state.get("unet_ema") else "unet"
+    missing = [name for name, sub in (("unet/unet_ema", state.get(key)),
+                                      ("vae", state.get("vae"))) if not sub]
+    if missing and not allow_random:
+        raise FileNotFoundError(
+            f"checkpoint {ckpt!r} holds no params for {missing}; pass "
+            "allow_random=True to keep random weights for those subtrees")
+    if state.get(key):
+        pipe.unet_params = jax.device_put(state[key])
+    if state.get("vae"):
+        pipe.vae_params = jax.device_put(state["vae"])
     return pipe
 
 
-def load_sd_components(pipeline_dir, dtype=jnp.float32):
+def load_sd_components(pipeline_dir, dtype=jnp.float32,
+                       allow_random=False):
     """Load the SD-family components from a converted / trained pipeline
     directory (the layout scripts/convert_reference_checkpoint.py emits:
     ``unet_config.json`` with cross-attention keys, ``vae_config.json``,
@@ -127,6 +144,10 @@ def load_sd_components(pipeline_dir, dtype=jnp.float32):
             k3, lat, jnp.zeros((1,), jnp.int32), ehs, lat)
 
     ckpt = latest_checkpoint(pipeline_dir)
+    if ckpt is None and not allow_random:
+        raise FileNotFoundError(
+            f"no checkpoint-* directory under {pipeline_dir!r}; pass "
+            "allow_random=True to score random-initialized weights")
     if ckpt is not None:
         target = {"unet": jax.device_get(out["unet_params"]),
                   "unet_ema": jax.device_get(out["unet_params"]),
@@ -135,6 +156,15 @@ def load_sd_components(pipeline_dir, dtype=jnp.float32):
             target["controlnet"] = jax.device_get(out["controlnet_params"])
         state = restore_checkpoint_lenient(ckpt, target)
         k = "unet_ema" if state.get("unet_ema") else "unet"
+        missing = [n for n, sub in
+                   (("unet/unet_ema", state.get(k)),
+                    ("vae", state.get("vae")),
+                    ("controlnet", state.get("controlnet")
+                     if "controlnet" in out else True)) if not sub]
+        if missing and not allow_random:
+            raise FileNotFoundError(
+                f"checkpoint {ckpt!r} holds no params for {missing}; pass "
+                "allow_random=True to keep random weights for those")
         if state.get(k):
             out["unet_params"] = jax.device_put(state[k])
         if state.get("vae"):

@@ -202,3 +202,29 @@ def test_attention_block_interp_fused_path():
     # outputs include the residual; blend of residuals == residual
     want = 0.75 * np.asarray(o0) + 0.25 * np.asarray(o1)
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_set_sdpa2_fused_knob():
+    """set_sdpa2_fused(False) routes sdpa2 through two single-KV flash
+    passes + blend; results must match the fused kernel and sdpa2_xla."""
+    from afldm_tpu.ops.attention import (sdpa2, sdpa2_xla, set_sdpa2_fused,
+                                         set_attention_impl)
+    r = np.random.default_rng(5)
+    shape = (2, 2, 1024, 64)
+    q, k0, v0, k1, v1 = (jnp.asarray(r.standard_normal(shape), jnp.float32)
+                         for _ in range(5))
+    alpha = jnp.asarray([0.2, 0.8], jnp.float32)
+    ref = sdpa2_xla(q, k0, v0, k1, v1, alpha[:, None, None])
+
+    set_attention_impl("flash")  # force flash dispatch (CPU interpret mode)
+    try:
+        fused = jax.jit(lambda *a: sdpa2(*a))(q, k0, v0, k1, v1, alpha)
+        set_sdpa2_fused(False)
+        unfused = jax.jit(lambda *a: sdpa2(*a))(q, k0, v0, k1, v1, alpha)
+    finally:
+        set_sdpa2_fused(True)
+        set_attention_impl("auto")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(unfused), np.asarray(ref),
+                               atol=2e-5)

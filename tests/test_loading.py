@@ -309,3 +309,42 @@ def test_convert_sd_checkpoint_with_controlnet(tmp_path):
     assert te._tokenizer is not None
     ids = te.tokenize(["abc"])
     assert ids.shape == (1, 12)
+
+
+def test_load_pipeline_fails_loud_without_checkpoint(tmp_path):
+    """VERDICT r3 item 4: a pipeline dir without checkpoint-* must raise,
+    never silently score random weights. allow_random=True opts back in."""
+    out = tmp_path / "pipeline"
+    os.makedirs(out)
+    with open(out / "unet_config.json", "w") as f:
+        json.dump(TINY_UNET.to_dict(), f)
+    with open(out / "vae_config.json", "w") as f:
+        json.dump(TINY_VAE.to_dict(), f)
+
+    with pytest.raises(FileNotFoundError, match="no checkpoint"):
+        load_pipeline(str(out))
+    pipe = load_pipeline(str(out), allow_random=True)
+    assert pipe.unet.config.sample_size == TINY_UNET.sample_size
+
+
+def test_load_pipeline_fails_loud_on_missing_subtree(tmp_path):
+    """A checkpoint that holds a unet but no vae subtree must raise too."""
+    from afldm_tpu.train.checkpoint import save_checkpoint
+    from afldm_tpu.pipelines.loading import init_random_pipeline
+
+    out = tmp_path / "pipeline"
+    os.makedirs(out)
+    with open(out / "unet_config.json", "w") as f:
+        json.dump(TINY_UNET.to_dict(), f)
+    with open(out / "vae_config.json", "w") as f:
+        json.dump(TINY_VAE.to_dict(), f)
+    ref = init_random_pipeline(TINY_UNET.to_dict(), TINY_VAE.to_dict(),
+                               {"num_train_timesteps": 100}, seed=3)
+    save_checkpoint(str(out), 1, {"unet": jax.device_get(ref.unet_params)})
+
+    with pytest.raises(FileNotFoundError, match="vae"):
+        load_pipeline(str(out))
+    pipe = load_pipeline(str(out), allow_random=True, use_ema=False)
+    for a, b in zip(jax.tree_util.tree_leaves(pipe.unet_params),
+                    jax.tree_util.tree_leaves(ref.unet_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
