@@ -564,3 +564,166 @@ def test_i2sb_ode_trajectory_golden(rng, cfg):
         xt_our, _ = ours.step(eps_our, int(t), int(ts[i + 1]), xt_our,
                               is_ode=True)
     assert_close(xt_our, to_nhwc(xt_ref), 2e-5, "i2sb ODE trajectory")
+
+
+# ---------------------------------------------------------------------------
+# Non-YOSO ControlNet branch (VERDICT r3 item 6): guess-mode scaling and
+# multi-step residual-injection wiring pinned to the torch semantics of
+# /root/reference/afldm/pipelines/normal_control_pipeline.py:340-396 and
+# /root/reference/afldm/models/my_controlnet.py:212-231. The reference
+# classes subclass diffusers (not importable here), so the loop is
+# transcribed in torch inside the test, with the SAME tiny jax models on
+# both sides — what is being pinned is the control flow: per-step residual
+# recompute, guess-mode conditional-only ControlNet + zero-padded uncond
+# residuals, CFG combine, DDIM chaining.
+#
+# Honesty note on CFG: the reference's copy of the diffusers loop dropped
+# the `torch.cat([latents] * 2)` batch expansion (its line 341 comment
+# survives but not the cat), so its non-YOSO CFG branch would shape-error
+# in torch. The torch loop below restores the diffusers original semantics
+# (StableDiffusionControlNetPipeline.__call__), which is what
+# pipelines/normal_control.py implements.
+# ---------------------------------------------------------------------------
+
+def _tiny_sd_models():
+    from afldm_tpu.models import (UNet2DConditionModel, UNet2DConditionConfig,
+                                  ControlNetModel, ControlNetConfig)
+    ucfg = UNet2DConditionConfig(
+        sample_size=8, block_out_channels=(16, 32),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, attention_head_dim=2, cross_attention_dim=16,
+        norm_num_groups=8, alias_free=False)
+    unet = UNet2DConditionModel(ucfg)
+    cn = ControlNetModel(ControlNetConfig.from_unet_config(ucfg))
+    lat = jnp.zeros((1, 8, 8, 4))
+    ehs = jnp.zeros((1, 77, 16))
+    t0 = jnp.zeros((1,), jnp.int32)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    up = jax.jit(unet.init)(k1, lat, t0, ehs)
+    cp = jax.jit(cn.init)(k2, lat, t0, ehs, lat)
+    return unet, up, cn, cp
+
+
+def test_controlnet_guess_mode_scaling_golden():
+    """Guess mode must scale down-residual i by torch.logspace(-1, 0,
+    n+1)[i] * conditioning_scale and the mid residual by the last ramp
+    entry (ref models/my_controlnet.py:212-231)."""
+    unet, up, cn, cp = _tiny_sd_models()
+    rng_ = np.random.default_rng(3)
+    lat = jnp.asarray(rng_.standard_normal((2, 8, 8, 4)), jnp.float32)
+    cond = jnp.asarray(rng_.standard_normal((2, 8, 8, 4)), jnp.float32)
+    ehs = jnp.asarray(rng_.standard_normal((2, 77, 16)), jnp.float32)
+    t = jnp.full((2,), 7, jnp.int32)
+
+    cs = 0.75
+    apply = jax.jit(cn.apply, static_argnames=("guess_mode",))
+    d_plain, m_plain, _ = apply(cp, lat, t, ehs, cond,
+                                conditioning_scale=1.0, guess_mode=False)
+    d_guess, m_guess, _ = apply(cp, lat, t, ehs, cond,
+                                conditioning_scale=cs, guess_mode=True)
+
+    ramp = torch.logspace(-1, 0, len(d_plain) + 1)  # the reference's ramp
+    for i, (dp, dg) in enumerate(zip(d_plain, d_guess)):
+        assert_close(dg, np.asarray(dp) * float(ramp[i]) * cs,
+                     tol=1e-5, what=f"guess down[{i}]")
+    assert_close(m_guess, np.asarray(m_plain) * float(ramp[-1]) * cs,
+                 tol=1e-5, what="guess mid")
+    # non-guess: flat conditioning_scale on every residual
+    d_cs, m_cs, _ = apply(cp, lat, t, ehs, cond,
+                          conditioning_scale=cs, guess_mode=False)
+    for i, (dp, dc) in enumerate(zip(d_plain, d_cs)):
+        assert_close(dc, np.asarray(dp) * cs, tol=1e-5,
+                     what=f"cond_scale down[{i}]")
+    assert_close(m_cs, np.asarray(m_plain) * cs, tol=1e-5,
+                 what="cond_scale mid")
+
+
+@pytest.mark.parametrize("gs,guess", [(1.0, False), (3.0, False),
+                                      (3.0, True)])
+def test_non_yoso_multistep_injection_golden(gs, guess):
+    """pipelines/normal_control.py:_denoise_fn (jitted scan) vs a torch
+    transcription of the reference/diffusers denoise loop with identical
+    models/tables: per-step ControlNet residual recompute + injection,
+    guess-mode conditional-only ControlNet with zero-padded uncond
+    residuals, eps-CFG combine, DDIM step chaining."""
+    from afldm_tpu.pipelines.normal_control import NormControlPipeline
+    from afldm_tpu.schedulers import DDIMScheduler
+
+    unet, up, cn, cp = _tiny_sd_models()
+    # clip_sample=False as in every SD-family scheduler config (the torch
+    # transcription below implements the unclipped eta=0 update)
+    sched = DDIMScheduler(num_train_timesteps=100, clip_sample=False)
+    pipe = NormControlPipeline(None, None, unet, up, cn, cp, sched,
+                               scaling_factor=1.0)
+
+    rng_ = np.random.default_rng(9)
+    lats = jnp.asarray(rng_.standard_normal((2, 8, 8, 4)), jnp.float32)
+    cond = jnp.asarray(rng_.standard_normal((2, 8, 8, 4)), jnp.float32)
+    ehs_c = jnp.asarray(rng_.standard_normal((2, 77, 16)), jnp.float32)
+    ehs_u = jnp.asarray(rng_.standard_normal((2, 77, 16)), jnp.float32)
+
+    num_steps = 4
+    do_cfg = gs > 1.0
+    ts = jnp.asarray(sched.set_timesteps(num_steps))
+    ts_prev = ts - sched.num_train_timesteps // num_steps
+
+    run = pipe._denoise_fn(num_steps, do_cfg, guess)
+    ours = run(up, cp, lats, cond, ehs_u, ehs_c, ts, ts_prev,
+               jnp.asarray(gs, jnp.float32))
+
+    # ---- torch transcription of the reference loop ----
+    def cn_t(x, t, e, c, guess_mode):
+        d, m, _ = jax.jit(cn.apply, static_argnames=("guess_mode",))(
+            cp, jnp.asarray(x.numpy()), jnp.full((x.shape[0],), t,
+                                                 jnp.int32),
+            jnp.asarray(e.numpy()), jnp.asarray(c.numpy()),
+            guess_mode=guess_mode)
+        return ([torch.from_numpy(np.asarray(r)) for r in d],
+                torch.from_numpy(np.asarray(m)))
+
+    def unet_t(x, t, e, d, m):
+        eps, _ = jax.jit(unet.apply)(
+            up, jnp.asarray(x.numpy()),
+            jnp.full((x.shape[0],), t, jnp.int32), jnp.asarray(e.numpy()),
+            down_block_residuals=tuple(jnp.asarray(r.numpy()) for r in d),
+            mid_block_residual=jnp.asarray(m.numpy()))
+        return torch.from_numpy(np.asarray(eps))
+
+    # DDIM tables are pinned separately (test_ddim_step_matches_formula);
+    # the step FORMULA below is the diffusers eta=0 update in torch
+    acp = torch.from_numpy(np.asarray(sched.alphas_cumprod,
+                                      np.float32))
+    final_alpha = torch.tensor(float(sched.final_alpha_cumprod))
+
+    def ddim_step(eps, t, pt, x):
+        a_t = acp[t]
+        a_prev = acp[pt] if pt >= 0 else final_alpha
+        x0 = (x - (1 - a_t).sqrt() * eps) / a_t.sqrt()
+        return a_prev.sqrt() * x0 + (1 - a_prev).sqrt() * eps
+
+    x = torch.from_numpy(np.asarray(lats))
+    c = torch.from_numpy(np.asarray(cond))
+    pe_c = torch.from_numpy(np.asarray(ehs_c))
+    pe_u = torch.from_numpy(np.asarray(ehs_u))
+    prompt_embeds = torch.cat([pe_u, pe_c]) if do_cfg else pe_c
+
+    for t, pt in zip(np.asarray(ts), np.asarray(ts_prev)):
+        lmi = torch.cat([x] * 2) if do_cfg else x
+        # scale_model_input is identity for DDIM
+        if guess and do_cfg:
+            # ref :352-356: ControlNet sees only the conditional batch
+            d, m = cn_t(x, int(t), prompt_embeds.chunk(2)[1], c, True)
+            d = [torch.cat([torch.zeros_like(r), r]) for r in d]
+            m = torch.cat([torch.zeros_like(m), m])
+        else:
+            cmi_cond = torch.cat([c] * 2) if do_cfg else c
+            d, m = cn_t(lmi, int(t), prompt_embeds, cmi_cond, guess)
+        noise_pred = unet_t(lmi, int(t), prompt_embeds, d, m)
+        if do_cfg:
+            eu, ec = noise_pred.chunk(2)
+            noise_pred = eu + gs * (ec - eu)
+        x = ddim_step(noise_pred, int(t), int(pt), x)
+
+    assert_close(ours, x.numpy(), tol=5e-4,
+                 what=f"non-yoso gs={gs} guess={guess}")
