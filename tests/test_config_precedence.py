@@ -124,3 +124,49 @@ def test_flagship_naive_artifact_regression():
     y1, _, _ = jax.jit(m1.apply)(p, x)
     y2, _, _ = jax.jit(m2.apply)(p, x)
     assert jnp.allclose(y1, y2, atol=1e-6)
+
+
+def test_flagship_report_refuses_invalid_arms(tmp_path, monkeypatch):
+    """scripts/flagship_ab.py report must refuse wiring-mismatched or
+    step-mismatched arms (the round-3 failure artifact) and compute the
+    gains when both arms are valid."""
+    import importlib
+    import json
+    import sys
+    import types
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    fab = importlib.import_module("flagship_ab")
+    monkeypatch.setattr(fab, "ROOT", str(tmp_path))
+
+    def write(arm, vae_af, unet_af, vae_steps, ldm_steps, psnr):
+        d = os.path.join(str(tmp_path), arm)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "eval.json"), "w") as f:
+            json.dump({"arm": arm, "vae_alias_free": vae_af,
+                       "unet_alias_free": unet_af,
+                       "vae_train_steps": vae_steps,
+                       "ldm_train_steps": ldm_steps,
+                       "mean_masked_psnr": psnr,
+                       "frac_shift_psnr": psnr - 0.1}, f)
+
+    args = types.SimpleNamespace(allow_step_mismatch=False)
+
+    # AF-wired "naive" arm (the r3 artifact) -> refused
+    write("naive", True, False, 2020, 4500, 20.0)
+    write("af", True, True, 2020, 4500, 21.7)
+    with pytest.raises(AssertionError):
+        fab.stage_report(args)
+
+    # step-mismatched arms -> refused unless explicitly allowed
+    write("naive", False, False, 2020, 2000, 20.0)
+    with pytest.raises(AssertionError):
+        fab.stage_report(args)
+
+    # valid arms -> report with the PSNR gains
+    write("naive", False, False, 2020, 4500, 20.0)
+    fab.stage_report(args)
+    with open(os.path.join(str(tmp_path), "report.json")) as f:
+        rep = json.load(f)
+    assert rep["step_matched"] is True
+    assert abs(rep["af_psnr_gain_db"] - 1.7) < 1e-6
