@@ -289,6 +289,22 @@ class VAETrainer(Trainer):
             vds = ImageFolderDataset(vdir,
                                      resolution=self.base_cfg.resolution,
                                      random_flip=False)
+            from ..utils.metric_utils import FeatureStats, frechet_distance
+            from .perceptual import _features, _filters, _is_vgg
+            # reconstruction FID proxy over the perceptual feature bank:
+            # Frechet distance between valid-set and reconstruction
+            # feature statistics (the role the reference's FeatureStats
+            # plays for its FID loop, af_libs/metric_utils.py:211-302)
+            st_real = FeatureStats(capture_mean_cov=True)
+            st_recon = FeatureStats(capture_mean_cov=True)
+
+            bank = _filters()
+
+            @jax.jit
+            def pooled_feats(x):
+                f = _features(x, bank, max_pool=_is_vgg(bank))[-1]
+                return f.mean(axis=(1, 2))         # (N, C) deepest stage
+
             tot_mse = tot_p = tot_psnr = n = 0.0
             for b in epoch_batches(vds, min(4, len(vds)), seed=0):
                 x = jnp.asarray(b["input"])
@@ -296,11 +312,15 @@ class VAETrainer(Trainer):
                 tot_mse += float(jnp.mean((x - rx) ** 2)) * x.shape[0]
                 tot_p += float(perceptual_loss(x, rx)) * x.shape[0]
                 tot_psnr += float(psnr(x, rx)) * x.shape[0]
+                st_real.append(pooled_feats(x))
+                st_recon.append(pooled_feats(rx))
                 n += x.shape[0]
             if n:
                 out.update(valid_mse=tot_mse / n,
                            valid_perceptual=tot_p / n,
-                           valid_psnr=tot_psnr / n)
+                           valid_psnr=tot_psnr / n,
+                           valid_recon_ffd=frechet_distance(st_real,
+                                                            st_recon))
         return out
 
     def save_pipeline(self, output_dir):

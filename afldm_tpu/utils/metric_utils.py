@@ -113,3 +113,36 @@ class ProgressMonitor:
         return ProgressMonitor(tag=tag, num_items=num_items,
                                verbose=self.verbose,
                                flush_interval=self.flush_interval)
+
+
+def frechet_distance(stats_a, stats_b):
+    """Frechet distance between two FeatureStats with captured mean+cov —
+    the FID formula StyleGAN-3's metrics compute from the stats the
+    reference's FeatureStats accumulates (ref af_libs/metric_utils.py:79-158
+    is the accumulator; the consumer metrics dir is trimmed upstream):
+
+        |mu_a - mu_b|^2 + tr(C_a + C_b - 2 sqrtm(C_a C_b))
+
+    Singular covariances (few samples vs feature dim) get the standard
+    eps*I diagonal offset before the matrix square root.
+    """
+    import warnings
+
+    import scipy.linalg
+
+    def sqrtm(x):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")   # LinAlgWarning on singular x
+            s = np.real(scipy.linalg.sqrtm(x))
+        err = (np.linalg.norm(s @ s - x) /
+               max(float(np.linalg.norm(x)), 1e-30))
+        return s, err
+
+    mu_a, cov_a = stats_a.get_mean_cov()
+    mu_b, cov_b = stats_b.get_mean_cov()
+    m = float(np.square(mu_a - mu_b).sum())
+    s, err = sqrtm(cov_a @ cov_b)
+    if not np.isfinite(err) or err > 1e-2:
+        eps = 1e-6 * np.eye(cov_a.shape[0])
+        s, _ = sqrtm((cov_a + eps) @ (cov_b + eps))
+    return float(m + np.trace(cov_a + cov_b - 2.0 * s))

@@ -319,3 +319,25 @@ def test_ldm_vae_path_from_ema_free_vae_pipeline(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(vt.state.params),
                     jax.tree_util.tree_leaves(tr.vae_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_vae_validate_ffd(tmp_path):
+    """With valid_data_dir set, validate() reports the reconstruction
+    Frechet feature distance through utils.metric_utils.FeatureStats."""
+    from afldm_tpu.train.data import render_dead_leaves_folder
+    vdir = str(tmp_path / "valid")
+    render_dead_leaves_folder(vdir, resolution=16, length=4, seed=1)
+    base = _base(tmp_path, valid_data_dir=vdir)
+    cfg = VAETrainingConfig(model_cfg="", use_shift_loss=False,
+                            use_disc=False, learning_rate=1e-3,
+                            lr_warmup_steps=0,
+                            gradient_accumulation_steps=1)
+    tr = create_trainer("vae", base, cfg)
+    tr.init_modules(vae_config=TINY_VAE_CFG)
+    tr.init_optimizers(10)
+    tr.prepare_modules()
+    tr.set_dataset(SyntheticDataset(resolution=16, length=8))
+    out = tr.validate(0)
+    assert "valid_recon_ffd" in out
+    assert np.isfinite(out["valid_recon_ffd"])
+    assert out["valid_recon_ffd"] >= -1e-6  # a distance

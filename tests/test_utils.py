@@ -123,3 +123,52 @@ def test_check_replica_consistency():
     if n > 1:
         with pytest.raises(AssertionError):
             check_replica_consistency({"w": nan_bad}, mesh)
+
+
+def test_frechet_distance():
+    """frechet_distance over FeatureStats: zero for identical stats,
+    matches the closed form for two Gaussians."""
+    from afldm_tpu.utils.metric_utils import FeatureStats, frechet_distance
+
+    r = np.random.default_rng(0)
+    a = r.standard_normal((512, 6)).astype(np.float32)
+    b = (a * 1.5 + 2.0).astype(np.float32)
+
+    sa, sb = FeatureStats(capture_mean_cov=True), \
+        FeatureStats(capture_mean_cov=True)
+    sa2 = FeatureStats(capture_mean_cov=True)
+    sa.append(a)
+    sa2.append(a)
+    sb.append(b)
+    assert abs(frechet_distance(sa, sa2)) < 1e-6
+
+    # closed form: |mu_a-mu_b|^2 + tr(Ca + Cb - 2 (Ca^1/2 Cb Ca^1/2)^1/2)
+    import scipy.linalg
+    mu_a, ca = sa.get_mean_cov()
+    mu_b, cb = sb.get_mean_cov()
+    ra = scipy.linalg.sqrtm(ca)
+    expect = (np.square(mu_a - mu_b).sum()
+              + np.trace(ca + cb - 2 * np.real(
+                  scipy.linalg.sqrtm(ra @ cb @ ra))))
+    got = frechet_distance(sa, sb)
+    assert abs(got - expect) / max(abs(expect), 1e-9) < 1e-4, (got, expect)
+
+
+def test_frechet_distance_singular_cov():
+    """Rank-deficient covariances (fewer samples than feature dim) must
+    not warn or go non-finite — the eps*I fallback handles them."""
+    import warnings
+
+    from afldm_tpu.utils.metric_utils import FeatureStats, frechet_distance
+
+    r = np.random.default_rng(1)
+    a = r.standard_normal((3, 16)).astype(np.float32)   # rank <= 3 << 16
+    b = r.standard_normal((3, 16)).astype(np.float32) + 1.0
+    sa, sb = FeatureStats(capture_mean_cov=True), \
+        FeatureStats(capture_mean_cov=True)
+    sa.append(a)
+    sb.append(b)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        d = frechet_distance(sa, sb)
+    assert np.isfinite(d) and d > 0, d
