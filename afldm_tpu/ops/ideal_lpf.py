@@ -375,8 +375,49 @@ def af_precision():
     return _AF_PRECISION
 
 
+# bf16-input fast path: with bfloat16 activations, running the f32
+# circulant operators at HIGHEST promotes both matmuls (including the f32
+# intermediate of the sandwich) to multi-pass f32 MXU emulation, even
+# though the inputs only carry 8 mantissa bits. Splitting each operator
+# into a (hi, lo) bf16 pair and summing two DEFAULT-precision passes keeps
+# the operator exact to ~2^-16 relative — below the bf16 activations' own
+# quantization — in 2 native MXU passes per matmul instead of 6.
+# Default OFF until measured on the round-4 roofline (BENCH_NOTES.md).
+_AF_BF16_SPLIT = False
+_SPLIT_CACHE = {}
+
+
+def set_af_bf16_split(on: bool):
+    """Enable the 2-pass bf16 operator-split circulant path for bfloat16
+    activations (trace-time knob, like set_af_precision)."""
+    global _AF_BF16_SPLIT
+    _AF_BF16_SPLIT = bool(on)
+
+
+def _split_bf16(op):
+    # keyed by identity: every operator lives forever in _OP_CACHE
+    k = id(op)
+    if k not in _SPLIT_CACHE:
+        import ml_dtypes
+        hi = op.astype(ml_dtypes.bfloat16)
+        lo = (op - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        _SPLIT_CACHE[k] = (hi, lo)
+    return _SPLIT_CACHE[k]
+
+
+def _einsum_split(eq, op, x):
+    hi, lo = _split_bf16(op)
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    return (jnp.einsum(eq, jnp.asarray(hi), x, **kw)
+            + jnp.einsum(eq, jnp.asarray(lo), x, **kw))
+
+
 def _apply_sep(x, op_h, op_w):
     """y = op_h @ x @ op_w^T over the spatial axes of NHWC, on the MXU."""
+    if _AF_BF16_SPLIT and x.dtype == jnp.bfloat16:
+        y = _einsum_split("Hh,nhwc->nHwc", op_h, x).astype(jnp.bfloat16)
+        return _einsum_split("Ww,nhwc->nhWc", op_w, y).astype(x.dtype)
     oh = jnp.asarray(op_h)
     ow = jnp.asarray(op_w)
     y = jnp.einsum("Hh,nhwc->nHwc", oh, x,
