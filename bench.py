@@ -268,6 +268,33 @@ def main():
     tpu_sps = measure("tpu")
     cpu_sps = cpu_baseline()
     vs = (tpu_sps / cpu_sps) if cpu_sps else None
+
+    # drift guard (VERDICT r3 item 7): every headline run is appended to
+    # BENCH_HISTORY.jsonl; a >10% drop vs the best prior run is flagged on
+    # stderr so bench-to-bench relay noise is tracked, not shrugged off
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_HISTORY.jsonl")
+    best_prior = None
+    try:
+        with open(hist_path) as f:
+            vals = [json.loads(line).get("steps_per_s", 0.0)
+                    for line in f if line.strip()]
+        best_prior = max(vals) if vals else None
+    except FileNotFoundError:
+        pass
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({"ts": round(time.time(), 1),
+                            "steps_per_s": round(tpu_sps, 3),
+                            "vs_best_prior": (round(tpu_sps / best_prior, 4)
+                                              if best_prior else None)})
+                + "\n")
+    if best_prior and tpu_sps < 0.9 * best_prior:
+        print(f"DRIFT WARNING: {tpu_sps:.1f} steps/s is "
+              f"{(1 - tpu_sps / best_prior) * 100:.1f}% below the best "
+              f"recorded run ({best_prior:.1f}); relay noise or a real "
+              f"regression — re-measure before trusting either",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "af_unet_denoise_steps_per_s_ffhq256",
         "value": round(tpu_sps, 3),

@@ -84,8 +84,11 @@ def main():
     key = jax.random.PRNGKey(1)
     inv0 = jnp.asarray(r.standard_normal(lat1.shape), jnp.float32)
     inv1 = jnp.asarray(r.standard_normal(lat1.shape), jnp.float32)
+    print("compiling store scan...", flush=True)
     _, kv0 = store(params, inv0, ehs1)
     _, kv1 = store(params, inv1, ehs1)
+    jax.block_until_ready(kv1)
+    print("store done", flush=True)
 
     F = args.frames
     noises = jax.random.normal(key, (F, S, S, cfg.in_channels), jnp.float32)
@@ -94,6 +97,7 @@ def main():
 
     def measure(fused):
         set_sdpa2_fused(fused)
+        print(f"compiling interp scan (fused={fused})...", flush=True)
         try:
             f = make_interp()
             # in-graph scalar materialization (CLAUDE.md: block_until_ready

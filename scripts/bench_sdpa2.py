@@ -45,30 +45,43 @@ def main():
     q, k0, v0, k1, v1 = rand(), rand(), rand(), rand(), rand()
     alpha = jnp.asarray(np.linspace(0, 1, B), jnp.float32)
 
-    @jax.jit
-    def fused(q, k0, v0, k1, v1, alpha):
+    def fused1(q, k0, v0, k1, v1, alpha):
         return sdpa2_flash(q, k0, v0, k1, v1, alpha)
 
-    @jax.jit
-    def unfused(q, k0, v0, k1, v1, alpha):
+    def unfused1(q, k0, v0, k1, v1, alpha):
         o0 = sdpa_flash(q, k0, v0)
         o1 = sdpa_flash(q, k1, v1)
         a = alpha[:, None, None, None]
         return (1.0 - a) * o0 + a * o1
 
-    def measure(f):
+    fused = jax.jit(fused1)
+    unfused = jax.jit(unfused1)
+
+    def chainN(f1):
+        # IN-GRAPH chain of `iters` dependent op calls: one host<->relay
+        # roundtrip per measurement (a lone ~50 ms op timed call-by-call
+        # on this relay is latency-diluted — BENCH_NOTES round 4)
+        @jax.jit
+        def g(q, k0, v0, k1, v1, alpha):
+            def body(c, _):
+                return f1(c.astype(dt), k0, v0, k1, v1, alpha), None
+            return jax.lax.scan(body, q, None, length=args.iters)[0]
+        return g
+
+    def measure(f1):
+        g = chainN(f1)
         # materialize an in-graph scalar: block_until_ready may return
         # before remote execution finishes on this backend (CLAUDE.md)
-        float(f(q, k0, v0, k1, v1, alpha).sum())   # compile + warm
-        t0 = time.perf_counter()
-        acc = 0.0
-        for _ in range(args.iters):
-            acc += float(f(q, k0, v0, k1, v1, alpha).sum())
-        dt_s = (time.perf_counter() - t0) / args.iters
-        return dt_s
+        float(g(q, k0, v0, k1, v1, alpha).sum())   # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(g(q, k0, v0, k1, v1, alpha).sum())
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        return best
 
-    t_un = measure(unfused)
-    t_fu = measure(fused)
+    t_un = measure(unfused1)
+    t_fu = measure(fused1)
     # correctness on device
     d = float(jnp.max(jnp.abs(
         fused(q, k0, v0, k1, v1, alpha).astype(jnp.float32)

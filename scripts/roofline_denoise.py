@@ -24,7 +24,10 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--dtype", type=str, default="bf16",
                    choices=["f32", "bf16"])
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=20,
+                   help="chained steps inside the timed scan")
+    p.add_argument("--repeats", type=int, default=3,
+                   help="timed scan launches; best-of is reported")
     p.add_argument("--out", type=str, default="results/roofline_denoise.json")
     args = p.parse_args()
 
@@ -61,26 +64,50 @@ def main():
         t = jnp.zeros((args.batch,), jnp.int32)
         params = jax.jit(model.init)(jax.random.PRNGKey(0), lat, t)
 
+        # time an IN-GRAPH scan of `iters` chained steps: one host<->relay
+        # roundtrip per measurement instead of one per step. A 40 ms step
+        # measured call-by-call on this relay is latency-dominated (the
+        # first cut of this script produced a negative attention share
+        # that way — BENCH_NOTES round 4).
         @jax.jit
-        def step(params, z, t):
-            return model.apply(params, z, t)[0]
+        def stepN(params, z, t):
+            def body(c, _):
+                return model.apply(params, c, t)[0], None
+            return jax.lax.scan(body, z, None, length=args.iters)[0]
 
-        return step, params, lat, t
+        return stepN, params, lat, t
 
-    def measure(step, params, lat, t):
-        float(step(params, lat, t).sum())   # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
+    def measure(stepN, params, lat, t):
+        float(stepN(params, lat, t).sum())   # compile + warm
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
             # in-graph scalar materialization (CLAUDE.md: block_until_ready
             # may return early on this backend)
-            float(step(params, lat, t).sum())
-        return (time.perf_counter() - t0) / args.iters
+            float(stepN(params, lat, t).sum())
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        return best
 
     from afldm_tpu.ops import set_af_precision
 
     rows = {}
-    base = measure(*build(alias_free=True, add_attention=True))
+    stepN, params, lat, t = build(alias_free=True, add_attention=True)
+    base = measure(stepN, params, lat, t)
     rows["full_af_step_ms"] = round(base * 1e3, 3)
+    # MFU: compiled-executable flops of the scan program ~= one step's
+    # flops (the while body is counted ONCE regardless of trip count —
+    # CLAUDE.md), over the v5e bf16 peak
+    try:
+        cost = stepN.lower(params, lat, t).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            rows["gflop_per_step"] = round(flops / 1e9, 2)
+            rows["mfu_vs_197tflops_bf16"] = round(
+                flops / base / 197e12, 4)
+    except Exception as e:  # pragma: no cover - relay quirk tolerance
+        rows["cost_analysis_error"] = str(e)
     # MXU precision of the circulant filtered-act matmuls: HIGHEST is the
     # 6-pass exact default; "high" (3-pass, ~4e-5 err) and DEFAULT (raw
     # bf16 MXU) trade exactness for time — candidate MFU lever
@@ -91,6 +118,16 @@ def main():
             rows[f"full_af_step_prec_{prec}_ms"] = round(t * 1e3, 3)
         finally:
             set_af_precision("highest")
+    if args.dtype == "bf16":
+        # 2-pass operator-split circulant path for bf16 activations
+        # (ops/ideal_lpf.set_af_bf16_split; default off until measured)
+        from afldm_tpu.ops import set_af_bf16_split
+        set_af_bf16_split(True)
+        try:
+            t = measure(*build(alias_free=True, add_attention=True))
+            rows["full_af_step_bf16_split_ms"] = round(t * 1e3, 3)
+        finally:
+            set_af_bf16_split(False)
     no_attn = measure(*build(alias_free=True, add_attention=False))
     rows["no_attention_ms"] = round(no_attn * 1e3, 3)
     naive = measure(*build(alias_free=False, add_attention=True))
