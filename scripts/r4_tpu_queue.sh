@@ -40,17 +40,13 @@ echo "relay up at $(date -u +%H:%M:%S)"
 # --- verification driver for the pending commit (verify skill) ---
 stage verify_r4a 3000 $PY -u /tmp/verify_r4a.py || true
 
-# --- short perf measurements (VERDICT items 2 and 3) ---
+# --- quick per-op measurement first: guarantees recorded perf evidence
+#     even if the relay window is short (VERDICT item 2) ---
 stage sdpa2_f32  2400 $PY -u scripts/bench_sdpa2.py --dtype f32  || true
 stage sdpa2_bf16 2400 $PY -u scripts/bench_sdpa2.py --dtype bf16 || true
-stage interp_denoise 4800 $PY -u scripts/bench_interp_denoise.py || true
-stage roofline_bf16 4800 $PY -u scripts/roofline_denoise.py --dtype bf16 \
-    --out results/roofline_denoise_bf16.json || true
-stage roofline_f32 4800 $PY -u scripts/roofline_denoise.py --dtype f32 \
-    --out results/roofline_denoise_f32.json || true
-stage af_precision 5400 $PY -u scripts/eval_af_precision.py || true
 
-# --- the flagship A/B naive retrain (VERDICT item 1) ---
+# --- the flagship A/B naive retrain (VERDICT item 1) — the single
+#     highest-leverage item; runs before the compile-heavy benches ---
 # r3's naive artifacts are invalid (AF-wired VAE); clear ONCE, stamped
 stage naive_clean 60 bash -c \
   "rm -rf results/flagship_ab/naive results/flagship_ab/report.json" || true
@@ -61,6 +57,15 @@ stage naive_eval 5400 $PY scripts/flagship_ab.py eval --arm naive
 # fixed loader
 stage af_eval 5400 $PY scripts/flagship_ab.py eval --arm af
 stage report 300 $PY scripts/flagship_ab.py report
+
+# --- compile-heavy perf measurements (VERDICT item 3; fresh HLO after
+#     the in-graph-chaining rewrite, so first compiles are slow) ---
+stage interp_denoise 4800 $PY -u scripts/bench_interp_denoise.py || true
+stage roofline_bf16 4800 $PY -u scripts/roofline_denoise.py --dtype bf16 \
+    --out results/roofline_denoise_bf16.json || true
+stage roofline_f32 4800 $PY -u scripts/roofline_denoise.py --dtype f32 \
+    --out results/roofline_denoise_f32.json || true
+stage af_precision 5400 $PY -u scripts/eval_af_precision.py || true
 
 # --- headline bench + drift guard ---
 stage bench 3600 $PY bench.py || true
