@@ -38,7 +38,7 @@ done
 echo "relay up at $(date -u +%H:%M:%S)"
 
 # --- verification driver for the pending commit (verify skill) ---
-stage verify_r4a 3000 $PY -u /tmp/verify_r4a.py || true
+stage verify_r4a 3000 $PY -u scripts/verify_r4a.py || true
 
 # --- quick per-op measurement first: guarantees recorded perf evidence
 #     even if the relay window is short (VERDICT item 2) ---
