@@ -398,6 +398,19 @@ def _sdpa2_fwd(q, k0, v0, k1, v1, alpha, scale, block_q, block_k):
             (q, k0, v0, k1, v1, alpha))
 
 
+def _sdpa2_twopass(q, k0, v0, k1, v1, alpha, attn, scale, out_dtype=None):
+    """(1-alpha)*attn(q,k0,v0) + alpha*attn(q,k1,v1), blended in f32 —
+    the single definition of two-pass semantics the fused kernel must
+    match (used by the XLA fallback, the fused VJP, and the measurement
+    knob)."""
+    o0 = attn(q, k0, v0, scale)
+    o1 = attn(q, k1, v1, scale)
+    a = jnp.asarray(alpha, jnp.float32)
+    a = a.reshape(a.shape + (1,) * (o0.ndim - a.ndim))
+    out = (1.0 - a) * o0 + a * o1
+    return out if out_dtype is None else out.astype(out_dtype)
+
+
 def _sdpa2_bwd(scale, block_q, block_k, res, g):
     # backward = VJP through two single-KV flash attentions (each with its
     # true flash backward); costs one fused-forward recompute, which is
@@ -405,11 +418,10 @@ def _sdpa2_bwd(scale, block_q, block_k, res, g):
     q, k0, v0, k1, v1, alpha = res
 
     def ref(q, k0, v0, k1, v1, alpha):
-        o0 = sdpa_flash(q, k0, v0, scale, block_q, block_k)
-        o1 = sdpa_flash(q, k1, v1, scale, block_q, block_k)
-        a = jnp.asarray(alpha, jnp.float32)
-        a = a.reshape(a.shape + (1,) * (o0.ndim - a.ndim))
-        return (1.0 - a) * o0 + a * o1
+        return _sdpa2_twopass(
+            q, k0, v0, k1, v1, alpha,
+            lambda q, k, v, s: sdpa_flash(q, k, v, s, block_q, block_k),
+            scale)
 
     return jax.vjp(ref, q, k0, v0, k1, v1, alpha)[1](g)
 
@@ -418,11 +430,7 @@ sdpa2_flash.defvjp(_sdpa2_fwd, _sdpa2_bwd)
 
 
 def sdpa2_xla(q, k0, v0, k1, v1, alpha, scale=None):
-    o0 = sdpa_xla(q, k0, v0, scale)
-    o1 = sdpa_xla(q, k1, v1, scale)
-    a = jnp.asarray(alpha, jnp.float32)
-    a = a.reshape(a.shape + (1,) * (o0.ndim - a.ndim))
-    return (1.0 - a) * o0 + a * o1
+    return _sdpa2_twopass(q, k0, v0, k1, v1, alpha, sdpa_xla, scale)
 
 
 def sdpa2(q, k0, v0, k1, v1, alpha, scale=None):
@@ -438,12 +446,11 @@ def sdpa2(q, k0, v0, k1, v1, alpha, scale=None):
         if forced or (wins and not _interpret()):
             if not _SDPA2_FUSED:
                 # measurement knob (set_sdpa2_fused): same flash kernels,
-                # two passes + blend — isolates exactly the two-KV fusion
-                o0 = sdpa_flash(q, k0, v0, scale)
-                o1 = sdpa_flash(q, k1, v1, scale)
-                a = jnp.asarray(alpha, jnp.float32)
-                a = a.reshape(a.shape + (1,) * (o0.ndim - a.ndim))
-                return (1.0 - a) * o0 + a * o1
+                # two passes + blend — isolates exactly the two-KV fusion.
+                # out_dtype=q.dtype matches the fused kernel's output, so
+                # the A/B doesn't fold a downstream cast into the delta
+                return _sdpa2_twopass(q, k0, v0, k1, v1, alpha, sdpa_flash,
+                                      scale, out_dtype=q.dtype)
             return sdpa2_flash(q, k0, v0, k1, v1, alpha, scale)
     return sdpa2_xla(q, k0, v0, k1, v1, alpha, scale)
 

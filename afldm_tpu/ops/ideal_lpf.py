@@ -395,14 +395,16 @@ def set_af_bf16_split(on: bool):
 
 
 def _split_bf16(op):
-    # keyed by identity: every operator lives forever in _OP_CACHE
+    # keyed by identity; the value pins `op` so the id can never be reused
+    # by a different (GC'd-then-reallocated) array, which would silently
+    # return the wrong (hi, lo) pair
     k = id(op)
     if k not in _SPLIT_CACHE:
         import ml_dtypes
         hi = op.astype(ml_dtypes.bfloat16)
         lo = (op - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-        _SPLIT_CACHE[k] = (hi, lo)
-    return _SPLIT_CACHE[k]
+        _SPLIT_CACHE[k] = (op, hi, lo)
+    return _SPLIT_CACHE[k][1:]
 
 
 def _einsum_split(eq, op, x):

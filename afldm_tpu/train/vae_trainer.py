@@ -264,6 +264,37 @@ class VAETrainer(Trainer):
                                                  key)
         return {k: float(v) for k, v in logs.items()}
 
+    def _valid_fns(self):
+        """Jitted validation callables, cached per object (CLAUDE.md: no
+        per-call jit closures — a 512px re-trace costs ~90 s host-side)."""
+        fns = getattr(self, "_val_fns", None)
+        if fns is None:
+            from ..shift.metrics import psnr
+            from .perceptual import (_features, _filters, _is_vgg,
+                                     _LPIPS_SHIFT, _LPIPS_SCALE)
+            bank = _filters()
+            is_vgg = _is_vgg(bank)
+
+            def batch_metrics(params, x):
+                # one feature-bank pass per image feeds both the perceptual
+                # distance and the pooled stats for the Frechet proxy
+                rx, _, _ = self.model.apply(params, x)
+                a, b = x, rx
+                if is_vgg:
+                    a = (a - _LPIPS_SHIFT) / _LPIPS_SCALE
+                    b = (b - _LPIPS_SHIFT) / _LPIPS_SCALE
+                fa = _features(a, bank, max_pool=is_vgg)
+                fb = _features(b, bank, max_pool=is_vgg)
+                perc = sum(jnp.mean((u - v) ** 2) for u, v in zip(fa, fb))
+                return (jnp.mean((x - rx) ** 2), perc, psnr(x, rx),
+                        fa[-1].mean(axis=(1, 2)), fb[-1].mean(axis=(1, 2)))
+
+            fns = self._val_fns = {
+                "apply": jax.jit(self.model.apply),
+                "batch_metrics": jax.jit(batch_metrics),
+            }
+        return fns
+
     def validate(self, global_step, images=None):
         """Reconstruction preview of the first train samples + optional
         valid-set MSE/perceptual/PSNR when valid_data_dir is configured
@@ -277,20 +308,18 @@ class VAETrainer(Trainer):
         params = (self.state.ema_params
                   if self.cfg.use_ema and self.state.ema_params is not None
                   else self.state.params)
-        apply = jax.jit(self.model.apply)
-        recon, mean, logvar = apply(params, images)
+        fns = self._valid_fns()
+        recon, mean, logvar = fns["apply"](params, images)
         out = {"val_mse": float(jnp.mean((recon - images) ** 2)),
                "recon": np.asarray(recon)}
 
         vdir = self.base_cfg.valid_data_dir
         if vdir and os.path.isdir(vdir):
             from .data import ImageFolderDataset, epoch_batches
-            from ..shift.metrics import psnr
             vds = ImageFolderDataset(vdir,
                                      resolution=self.base_cfg.resolution,
                                      random_flip=False)
             from ..utils.metric_utils import FeatureStats, frechet_distance
-            from .perceptual import _features, _filters, _is_vgg
             # reconstruction FID proxy over the perceptual feature bank:
             # Frechet distance between valid-set and reconstruction
             # feature statistics (the role the reference's FeatureStats
@@ -298,22 +327,15 @@ class VAETrainer(Trainer):
             st_real = FeatureStats(capture_mean_cov=True)
             st_recon = FeatureStats(capture_mean_cov=True)
 
-            bank = _filters()
-
-            @jax.jit
-            def pooled_feats(x):
-                f = _features(x, bank, max_pool=_is_vgg(bank))[-1]
-                return f.mean(axis=(1, 2))         # (N, C) deepest stage
-
             tot_mse = tot_p = tot_psnr = n = 0.0
             for b in epoch_batches(vds, min(4, len(vds)), seed=0):
                 x = jnp.asarray(b["input"])
-                rx, _, _ = apply(params, x)
-                tot_mse += float(jnp.mean((x - rx) ** 2)) * x.shape[0]
-                tot_p += float(perceptual_loss(x, rx)) * x.shape[0]
-                tot_psnr += float(psnr(x, rx)) * x.shape[0]
-                st_real.append(pooled_feats(x))
-                st_recon.append(pooled_feats(rx))
+                mse, perc, p, px, prx = fns["batch_metrics"](params, x)
+                tot_mse += float(mse) * x.shape[0]
+                tot_p += float(perc) * x.shape[0]
+                tot_psnr += float(p) * x.shape[0]
+                st_real.append(px)
+                st_recon.append(prx)
                 n += x.shape[0]
             if n:
                 out.update(valid_mse=tot_mse / n,

@@ -276,9 +276,16 @@ def main():
                              "BENCH_HISTORY.jsonl")
     best_prior = None
     try:
+        vals = []
         with open(hist_path) as f:
-            vals = [json.loads(line).get("steps_per_s", 0.0)
-                    for line in f if line.strip()]
+            for line in f:
+                # a bench killed mid-append (timeout/relay flap) leaves a
+                # truncated line; never let it cost a finished measurement
+                try:
+                    vals.append(float(json.loads(line).get("steps_per_s",
+                                                           0.0)))
+                except (ValueError, TypeError):
+                    continue
         best_prior = max(vals) if vals else None
     except FileNotFoundError:
         pass

@@ -64,7 +64,9 @@ def main():
         @jax.jit
         def g(q, k0, v0, k1, v1, alpha):
             def body(c, _):
-                return f1(c.astype(dt), k0, v0, k1, v1, alpha), None
+                # cast the OUTPUT: the unfused blend promotes bf16 to f32
+                # (alpha is f32), which would mismatch the bf16 carry
+                return f1(c, k0, v0, k1, v1, alpha).astype(dt), None
             return jax.lax.scan(body, q, None, length=args.iters)[0]
         return g
 

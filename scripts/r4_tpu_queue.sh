@@ -50,13 +50,17 @@ stage sdpa2_bf16 2400 $PY -u scripts/bench_sdpa2.py --dtype bf16 || true
 # r3's naive artifacts are invalid (AF-wired VAE); clear ONCE, stamped
 stage naive_clean 60 bash -c \
   "rm -rf results/flagship_ab/naive results/flagship_ab/report.json" || true
-stage naive_vae 10800 $PY scripts/flagship_ab.py vae --arm naive --max_steps 2020
-stage naive_ldm 12600 $PY scripts/flagship_ab.py ldm --arm naive --max_steps 4500
-stage naive_eval 5400 $PY scripts/flagship_ab.py eval --arm naive
+# dependent chain: a failed/timed-out stage must NOT let the next one
+# burn hours of serialized relay budget on an under-trained upstream —
+# exit and let the outer retry loop re-enter (training stages resume
+# from their own checkpoints, so nothing is lost)
+stage naive_vae 10800 $PY scripts/flagship_ab.py vae --arm naive --max_steps 2020 || exit 1
+stage naive_ldm 12600 $PY scripts/flagship_ab.py ldm --arm naive --max_steps 4500 || exit 1
+stage naive_eval 5400 $PY scripts/flagship_ab.py eval --arm naive || exit 1
 # re-run the AF eval so both eval.json carry the audit fields under the
 # fixed loader
-stage af_eval 5400 $PY scripts/flagship_ab.py eval --arm af
-stage report 300 $PY scripts/flagship_ab.py report
+stage af_eval 5400 $PY scripts/flagship_ab.py eval --arm af || exit 1
+stage report 300 $PY scripts/flagship_ab.py report || exit 1
 
 # --- compile-heavy perf measurements (VERDICT item 3; fresh HLO after
 #     the in-graph-chaining rewrite, so first compiles are slow) ---
