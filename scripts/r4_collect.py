@@ -1,0 +1,207 @@
+"""Collect round-4 TPU measurement artifacts into BENCH_NOTES.md and
+results/benchmarks.json.
+
+Runs as the FINAL r4_tpu_queue.sh stage, so the numbers are recorded the
+moment the queue finishes even if no interactive session is alive
+(round-3 failure mode: measurement scripts ran, numbers never landed in
+the notes — VERDICT r3 items 2/3).
+
+Idempotent: the auto-collected section of BENCH_NOTES.md is delimited by
+markers and replaced wholesale on re-run; missing artifacts are listed as
+"pending", never invented.
+"""
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NOTES = os.path.join(ROOT, "BENCH_NOTES.md")
+BEGIN = "<!-- R4_AUTO_BEGIN (scripts/r4_collect.py) -->"
+END = "<!-- R4_AUTO_END -->"
+
+
+def _jsonl(path):
+    rows = []
+    try:
+        with open(os.path.join(ROOT, path)) as f:
+            for line in f:
+                try:
+                    rows.append(json.loads(line))
+                except ValueError:
+                    continue
+    except FileNotFoundError:
+        pass
+    return rows
+
+
+def _json(path):
+    try:
+        with open(os.path.join(ROOT, path)) as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def sdpa2_section(out):
+    # keep only the LAST row per (shape, dtype): earlier rows may predate
+    # the in-graph-chaining instrument (call-by-call timing is
+    # relay-latency-diluted — see the methodology note above)
+    rows = {}
+    for r in _jsonl("results/bench_sdpa2.json"):
+        rows[(tuple(r.get("shape", [])), r.get("dtype"))] = r
+    out.append("### Two-KV fused CFA-interp attention, per-op "
+               "(scripts/bench_sdpa2.py)")
+    if not rows:
+        out.append("*pending (relay)*")
+        return
+    out.append("| shape (B,H,L,D) | dtype | unfused ms | fused ms | "
+               "speedup | max abs diff |")
+    out.append("|---|---|---|---|---|---|")
+    for (shape, dt), r in sorted(rows.items(), key=str):
+        out.append(f"| {list(shape)} | {dt} | {r['unfused_ms']} | "
+                   f"{r['fused_ms']} | {r['speedup']}x | "
+                   f"{r['max_abs_diff']:.2e} |")
+
+
+def interp_section(out):
+    rows = {}
+    for r in _jsonl("results/bench_interp_denoise.json"):
+        rows[(r.get("frames"), r.get("steps"), r.get("dtype"))] = r
+    out.append("### Interp-denoise end-to-end fused-vs-unfused "
+               "(scripts/bench_interp_denoise.py)")
+    if not rows:
+        out.append("*pending (relay)*")
+        return
+    out.append("| frames | steps | dtype | unfused ms/step | "
+               "fused ms/step | speedup | checksum rel diff |")
+    out.append("|---|---|---|---|---|---|---|")
+    for k, r in sorted(rows.items(), key=str):
+        out.append(f"| {r['frames']} | {r['steps']} | {r['dtype']} | "
+                   f"{r['unfused_ms_per_step']} | {r['fused_ms_per_step']} "
+                   f"| {r['speedup']}x | {r['checksum_rel_diff']:.2e} |")
+
+
+def roofline_section(out):
+    out.append("### Denoise-step attribution (scripts/roofline_denoise.py, "
+               "in-graph chain, batch 8)")
+    any_found = False
+    for dt in ("bf16", "f32"):
+        r = _json(f"results/roofline_denoise_{dt}.json")
+        if not r:
+            continue
+        any_found = True
+        out.append(f"**{dt}** (batch {r.get('batch')}):")
+        out.append("| variant | ms/step |")
+        out.append("|---|---|")
+        for k, v in r.items():
+            if k.endswith("_ms"):
+                out.append(f"| {k[:-3]} | {v} |")
+        shares = {k: v for k, v in r.items() if k.endswith("_share")}
+        if shares:
+            out.append("")
+            out.append("| component | share of step |")
+            out.append("|---|---|")
+            for k, v in shares.items():
+                out.append(f"| {k[:-6]} | {v * 100:.1f}% |")
+        out.append("")
+    if not any_found:
+        out.append("*pending (relay)*")
+
+
+def precision_section(out):
+    r = _json("results/af_precision_eval.json")
+    out.append("### set_af_precision('high') vs eval PSNR "
+               "(scripts/eval_af_precision.py)")
+    if not r:
+        out.append("*pending (relay)*")
+        return
+    out.append(f"- highest: {r['highest']['mean_masked_psnr']} dB mean "
+               f"masked PSNR; high: {r['high']['mean_masked_psnr']} dB "
+               f"({r['high_minus_highest_db']:+} dB, "
+               f"{'within' if r['within_0p1_db'] else 'OUTSIDE'} the "
+               f"0.1 dB budget) — {r['eval_steps']} eval steps, "
+               f"{r['shift_steps']} shifts")
+
+
+def flagship_section(out):
+    r = _json("results/flagship_ab/report.json")
+    out.append("### Flagship 256px naive-vs-AF A/B "
+               "(scripts/flagship_ab.py report)")
+    if not r:
+        out.append("*pending (relay: naive retrain + dual eval queued)*")
+        return
+    out.append(f"- AF arm:    {r['af']['mean_masked_psnr']} dB mean masked "
+               f"PSNR ({r['af'].get('vae_train_steps')} VAE / "
+               f"{r['af'].get('ldm_train_steps')} LDM steps)")
+    out.append(f"- naive arm: {r['naive']['mean_masked_psnr']} dB "
+               f"({r['naive'].get('vae_train_steps')} VAE / "
+               f"{r['naive'].get('ldm_train_steps')} LDM steps)")
+    out.append(f"- **AF gain: {r['af_psnr_gain_db']:+} dB overall, "
+               f"{r['af_frac_shift_gain_db']:+} dB on fractional shifts** "
+               f"(step_matched={r['step_matched']})")
+
+
+def headline_section(out):
+    rows = _jsonl("BENCH_HISTORY.jsonl")
+    out.append("### Headline bench history (bench.py drift guard)")
+    if not rows:
+        out.append("*pending (relay)*")
+        return
+    last = rows[-1]
+    best = max(r.get("steps_per_s", 0.0) for r in rows)
+    out.append(f"- latest: {last.get('steps_per_s')} steps/s "
+               f"(best recorded: {best}; {len(rows)} runs tracked)")
+
+
+def update_benchmarks_json():
+    path = os.path.join(ROOT, "results", "benchmarks.json")
+    bm = _json("results/benchmarks.json") or {}
+    rep = _json("results/flagship_ab/report.json")
+    if rep:
+        bm["flagship_ab_256px"] = {
+            "af_mean_masked_psnr": rep["af"]["mean_masked_psnr"],
+            "naive_mean_masked_psnr": rep["naive"]["mean_masked_psnr"],
+            "af_psnr_gain_db": rep["af_psnr_gain_db"],
+            "af_frac_shift_gain_db": rep["af_frac_shift_gain_db"],
+            "step_matched": rep["step_matched"],
+            "weights": "trained",
+        }
+        bm["_note"] = ("weights=random entries are plumbing-on-random-"
+                       "weights, NOT parity evidence; flagship_ab_256px "
+                       "(trained) is the equivariance demonstration — "
+                       "full detail in results/flagship_ab/report.json")
+    with open(path, "w") as f:
+        json.dump(bm, f, indent=2)
+
+
+def main():
+    out = [BEGIN, "## Round-4 recorded numbers (auto-collected)", ""]
+    sdpa2_section(out)
+    out.append("")
+    interp_section(out)
+    out.append("")
+    roofline_section(out)
+    precision_section(out)
+    out.append("")
+    flagship_section(out)
+    out.append("")
+    headline_section(out)
+    out.append(END)
+    block = "\n".join(out) + "\n"
+
+    with open(NOTES) as f:
+        text = f.read()
+    if BEGIN in text:
+        pre = text[:text.index(BEGIN)]
+        post = text[text.index(END) + len(END):].lstrip("\n")
+        text = pre + block + post
+    else:
+        text = text.rstrip("\n") + "\n\n" + block
+    with open(NOTES, "w") as f:
+        f.write(text)
+
+    update_benchmarks_json()
+    print("collected -> BENCH_NOTES.md, results/benchmarks.json")
+
+
+if __name__ == "__main__":
+    main()

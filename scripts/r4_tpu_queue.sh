@@ -44,6 +44,9 @@ stage verify_r4a 3000 $PY -u scripts/verify_r4a.py || true
 #     even if the relay window is short (VERDICT item 2) ---
 stage sdpa2_f32  2400 $PY -u scripts/bench_sdpa2.py --dtype f32  || true
 stage sdpa2_bf16 2400 $PY -u scripts/bench_sdpa2.py --dtype bf16 || true
+# checkpoint the evidence trail early: if the relay dies again mid-queue,
+# whatever was measured is already in BENCH_NOTES.md
+timeout 120 $PY scripts/r4_collect.py || true
 
 # --- the flagship A/B naive retrain (VERDICT item 1) — the single
 #     highest-leverage item; runs before the compile-heavy benches ---
@@ -61,6 +64,7 @@ stage naive_eval 5400 $PY scripts/flagship_ab.py eval --arm naive || exit 1
 # fixed loader
 stage af_eval 5400 $PY scripts/flagship_ab.py eval --arm af || exit 1
 stage report 300 $PY scripts/flagship_ab.py report || exit 1
+timeout 120 $PY scripts/r4_collect.py || true
 
 # --- compile-heavy perf measurements (VERDICT item 3; fresh HLO after
 #     the in-graph-chaining rewrite, so first compiles are slow) ---
@@ -73,6 +77,11 @@ stage af_precision 5400 $PY -u scripts/eval_af_precision.py || true
 
 # --- headline bench + drift guard ---
 stage bench 3600 $PY bench.py || true
+
+# --- record everything measured so far into BENCH_NOTES.md +
+#     results/benchmarks.json (idempotent; not stamped — re-collects on
+#     every pass so late artifacts still land) ---
+timeout 120 $PY scripts/r4_collect.py || true
 
 echo "QUEUE COMPLETE $(date -u +%H:%M:%S)"
 ls "$Q"
