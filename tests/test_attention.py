@@ -228,3 +228,29 @@ def test_set_sdpa2_fused_knob():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(unfused), np.asarray(ref),
                                atol=2e-5)
+
+
+def test_sdpa2_knob_dtype_contract():
+    """Fused and unfused sdpa2 return the SAME dtype for bf16 inputs
+    (q.dtype), so the measurement A/B isolates the fusion, not a cast
+    (the blend is computed in f32 either way; alpha is f32)."""
+    from afldm_tpu.ops.attention import (sdpa2, set_sdpa2_fused,
+                                         set_attention_impl)
+    r = np.random.default_rng(6)
+    shape = (2, 2, 256, 32)
+    q, k0, v0, k1, v1 = (jnp.asarray(r.standard_normal(shape), jnp.bfloat16)
+                         for _ in range(5))
+    alpha = jnp.asarray([0.25, 0.75], jnp.float32)
+    set_attention_impl("flash")
+    try:
+        fused = jax.jit(lambda *a: sdpa2(*a))(q, k0, v0, k1, v1, alpha)
+        set_sdpa2_fused(False)
+        unfused = jax.jit(lambda *a: sdpa2(*a))(q, k0, v0, k1, v1, alpha)
+    finally:
+        set_sdpa2_fused(True)
+        set_attention_impl("auto")
+    assert fused.dtype == jnp.bfloat16, fused.dtype
+    assert unfused.dtype == jnp.bfloat16, unfused.dtype
+    np.testing.assert_allclose(np.asarray(fused, np.float32),
+                               np.asarray(unfused, np.float32),
+                               atol=2e-2)
