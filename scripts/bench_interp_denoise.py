@@ -28,6 +28,8 @@ def main():
                    choices=["f32", "bf16"])
     p.add_argument("--out", type=str,
                    default="results/bench_interp_denoise.json")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny UNet for CPU smoke tests (NOT a benchmark)")
     args = p.parse_args()
 
     import numpy as np
@@ -41,7 +43,15 @@ def main():
     from afldm_tpu.ops.attention import set_sdpa2_fused
 
     dt = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
-    cfg = UNet2DConditionConfig(alias_free=True)
+    if args.tiny:
+        cfg = UNet2DConditionConfig(
+            alias_free=True, sample_size=16, block_out_channels=(32, 64),
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            layers_per_block=1, attention_head_dim=2,
+            cross_attention_dim=32, norm_num_groups=8)
+    else:
+        cfg = UNet2DConditionConfig(alias_free=True)
     unet = UNet2DConditionModel(cfg, dtype=dt)
     sched = DDIMScheduler(beta_end=0.012, beta_schedule="scaled_linear",
                           beta_start=0.00085, clip_sample=False,
