@@ -29,6 +29,12 @@ class BaseTrainingConfig:
     gradient_accumulation_steps: int = 1
     mixed_precision: Optional[str] = None
     gradient_checkpointing: bool = False
+    # remat selectivity when gradient_checkpointing is on: "full"
+    # recomputes everything in the backward pass (minimum HBM); "dots"
+    # uses jax.checkpoint_policies.dots_with_no_batch_dims_saveable —
+    # matmul/conv outputs are kept, only elementwise work is recomputed
+    # (trades HBM back for MFU; the standard TPU middle ground)
+    remat_policy: str = "full"
     # tensor-parallel size of the mesh 'model' axis (1 = pure DP; params,
     # Adam state and EMA shard their output channels across it —
     # parallel/sharding_rules.py)

@@ -157,11 +157,15 @@ class LDMTrainer(Trainer):
 
         if self.base_cfg.gradient_checkpointing:
             # rematerialize UNet activations in the backward pass
-            # (ref train.py:130 enable_gradient_checkpointing)
+            # (ref train.py:130 enable_gradient_checkpointing); policy
+            # "dots" keeps MXU outputs and recomputes only elementwise
+            from .trainer import remat_policy
+            policy = remat_policy(self.base_cfg.remat_policy)
+
             def unet_apply(params, x, t, kv_in=None):
                 def f(params, x, t, kv_in):
                     return unet.apply(params, x, t, kv_in=kv_in)
-                return jax.checkpoint(f)(params, x, t, kv_in)
+                return jax.checkpoint(f, policy=policy)(params, x, t, kv_in)
         else:
             def unet_apply(params, x, t, kv_in=None):
                 return unet.apply(params, x, t, kv_in=kv_in)

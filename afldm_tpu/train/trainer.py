@@ -62,6 +62,17 @@ def make_optimizer(cfg, total_steps: Optional[int] = None,
     return tx
 
 
+def remat_policy(name: str):
+    """Map BaseTrainingConfig.remat_policy to a jax.checkpoint policy.
+    "full" -> None (recompute everything, minimum HBM); "dots" -> keep
+    matmul/conv outputs, recompute elementwise (higher MFU)."""
+    if name == "full":
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat_policy {name!r} (full|dots)")
+
+
 def load_json(path):
     with open(path) as f:
         return json.load(f)

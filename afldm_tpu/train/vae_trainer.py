@@ -87,14 +87,18 @@ class VAETrainer(Trainer):
             # a whole decoder of 256px activations
             inner = AutoencoderKL(self.vae_config, dtype=self.weight_dtype,
                                   remat=True)
+            from .trainer import remat_policy
+            policy = remat_policy(self.base_cfg.remat_policy)
 
             class _Remat:
                 def __init__(self, m):
                     self._m = m
                     self._enc = jax.checkpoint(
-                        lambda p, x: inner.apply(p, x, method="encode"))
+                        lambda p, x: inner.apply(p, x, method="encode"),
+                        policy=policy)
                     self._dec = jax.checkpoint(
-                        lambda p, z: inner.apply(p, z, method="decode"))
+                        lambda p, z: inner.apply(p, z, method="decode"),
+                        policy=policy)
 
                 def apply(self, params, x, method=None):
                     if method == "encode":

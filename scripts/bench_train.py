@@ -28,9 +28,14 @@ def main():
     p.add_argument("--mixed_precision", default="no",
                    choices=["no", "bf16"])
     p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--remat_policy", default="full",
+                   choices=["full", "dots"],
+                   help="remat selectivity under --gradient_checkpointing")
     p.add_argument("--no_shift_loss", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="force the host CPU backend (smoke tests)")
+    p.add_argument("--out", default="results/bench_train_r4.jsonl",
+                   help="JSONL sink ('' to disable)")
     args = p.parse_args()
 
     import jax
@@ -54,7 +59,8 @@ def main():
         logging_dir="logs", output_dir="/tmp/bench_train",
         resolution=args.resolution, train_batch_size=args.batch,
         num_epochs=1, seed=0, mixed_precision=args.mixed_precision,
-        gradient_checkpointing=args.gradient_checkpointing)
+        gradient_checkpointing=args.gradient_checkpointing,
+        remat_policy=args.remat_policy)
     ldm = LDMTrainingConfig(
         af_models=True, use_shift_loss=not args.no_shift_loss,
         use_ema=True, use_cross_attn=not args.no_shift_loss)
@@ -97,6 +103,7 @@ def main():
         "batch": args.batch,
         "mixed_precision": args.mixed_precision,
         "gradient_checkpointing": args.gradient_checkpointing,
+        "remat_policy": args.remat_policy,
         "shift_loss": not args.no_shift_loss,
         "steps_per_s": round(1.0 / best, 4),
         "images_per_s": round(args.batch / best, 3),
@@ -107,6 +114,10 @@ def main():
         out["tflop_per_s"] = round(flops / best / 1e12, 2)
         out["mfu_vs_197tflops_bf16"] = round(flops / best / 1e12 / 197.0, 4)
     print(json.dumps(out))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":

@@ -140,6 +140,27 @@ def flagship_section(out):
                f"(step_matched={r['step_matched']})")
 
 
+def train_section(out):
+    rows = {}
+    for r in _jsonl("results/bench_train_r4.jsonl"):
+        rows[(r.get("batch"), r.get("mixed_precision"),
+              r.get("gradient_checkpointing"), r.get("remat_policy"))] = r
+    out.append("### Training step throughput / MFU (scripts/bench_train.py)")
+    if not rows:
+        out.append("*pending (relay)*")
+        return
+    out.append("| batch | precision | remat | policy | img/s | TFLOP/s | "
+               "MFU |")
+    out.append("|---|---|---|---|---|---|---|")
+    for k, r in sorted(rows.items(), key=str):
+        mfu = r.get("mfu_vs_197tflops_bf16")
+        mfu_s = f"{mfu * 100:.1f}%" if mfu is not None else "?"
+        out.append(f"| {r['batch']} | {r['mixed_precision']} | "
+                   f"{r['gradient_checkpointing']} | "
+                   f"{r.get('remat_policy', 'full')} | {r['images_per_s']} "
+                   f"| {r.get('tflop_per_s', '?')} | {mfu_s} |")
+
+
 def headline_section(out):
     rows = _jsonl("BENCH_HISTORY.jsonl")
     out.append("### Headline bench history (bench.py drift guard)")
@@ -181,6 +202,8 @@ def main():
     out.append("")
     roofline_section(out)
     precision_section(out)
+    out.append("")
+    train_section(out)
     out.append("")
     flagship_section(out)
     out.append("")

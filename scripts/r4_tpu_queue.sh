@@ -75,6 +75,15 @@ stage roofline_f32 4800 $PY -u scripts/roofline_denoise.py --dtype f32 \
     --out results/roofline_denoise_f32.json || true
 stage af_precision 5400 $PY -u scripts/eval_af_precision.py || true
 
+# --- training MFU: full vs dots remat at the r2 measurement point
+#     (batch 32 bf16; VERDICT item 3) ---
+stage train_remat_full 4800 $PY -u scripts/bench_train.py --batch 32 \
+    --mixed_precision bf16 --gradient_checkpointing \
+    --remat_policy full || true
+stage train_remat_dots 4800 $PY -u scripts/bench_train.py --batch 32 \
+    --mixed_precision bf16 --gradient_checkpointing \
+    --remat_policy dots || true
+
 # --- headline bench + drift guard ---
 stage bench 3600 $PY bench.py || true
 

@@ -341,3 +341,32 @@ def test_vae_validate_ffd(tmp_path):
     assert "valid_recon_ffd" in out
     assert np.isfinite(out["valid_recon_ffd"])
     assert out["valid_recon_ffd"] >= -1e-6  # a distance
+
+
+def test_ldm_remat_policy_dots_matches_full(tmp_path):
+    """remat_policy only changes WHAT is rematerialized, never the math:
+    a "dots" run must produce the same losses as "full" (same seeds)."""
+    def run(policy):
+        base = _base(tmp_path / policy)
+        base.gradient_checkpointing = True
+        base.remat_policy = policy
+        cfg = LDMTrainingConfig(vae_path="", scheduler_path="",
+                                af_models=True, use_shift_loss=False,
+                                use_cross_attn=False, use_ema=False,
+                                learning_rate=2e-3, lr_warmup_steps=0)
+        tr = create_trainer("ldm", base, cfg)
+        tr.init_modules(vae_config=TINY_VAE_CFG, unet_config=TINY_UNET_CFG,
+                        scheduler_config=SCHED_CFG)
+        tr.init_optimizers(100)
+        tr.prepare_modules()
+        ds = SyntheticDataset(resolution=16, length=16)
+        return [l["train_loss"] for l in _run_steps(tr, 3, ds)]
+
+    full = run("full")
+    dots = run("dots")
+    np.testing.assert_allclose(dots, full, rtol=1e-5)
+
+    import pytest
+    from afldm_tpu.train.trainer import remat_policy as rp
+    with pytest.raises(ValueError):
+        rp("bogus")
