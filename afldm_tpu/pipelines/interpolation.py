@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..shift.flow import get_intermediate_warp_mask, flow_warp, \
     collect_noise_pixel
 from ..ops.ideal_lpf import upsample_rfft
+from ._frames import FrameShardingMixin
 
 
 def slerp(a, b, t):
@@ -44,7 +45,7 @@ def slerp(a, b, t):
     return c1 * a + c2 * b
 
 
-class ImageInterpolationPipeline:
+class ImageInterpolationPipeline(FrameShardingMixin):
     def __init__(self, vae, vae_params, unet, unet_params, scheduler,
                  text_encoder=None, flow_fn: Optional[Callable] = None,
                  scaling_factor=None, mesh=None):
@@ -60,27 +61,8 @@ class ImageInterpolationPipeline:
         self.mesh = mesh
         self._fns = {}
 
-    def _shard_frames(self, *arrs):
-        """Frame-axis (sequence) sharding for the joint interp denoise:
-        each frame attends only to the two replicated endpoint KV
-        trajectories (SURVEY.md §5.7), so placing the leading frame dim
-        over the mesh 'data' axis lets GSPMD compile a collective-free
-        frame-parallel denoise + decode."""
-        if self.mesh is None or self.mesh.shape.get("data", 1) <= 1:
-            return arrs if len(arrs) > 1 else arrs[0]
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(self.mesh, P("data"))
-        out = tuple(jax.device_put(a, sh) for a in arrs)
-        return out if len(out) > 1 else out[0]
-
-    def _vae_fn(self, method):
-        # jit ONCE per pipeline: a fresh jax.jit(partial(...)) per call
-        # re-traces the whole AF-VAE every time (~90 s host-side at 512 px)
-        if method not in self._fns:
-            from functools import partial
-            self._fns[method] = jax.jit(partial(self.vae.apply,
-                                                method=method))
-        return self._fns[method]
+    # _shard_frames/_vae_fn/_pad_rows/_slice_rows come from
+    # FrameShardingMixin (shared with VideoEquivEditingPipeline)
 
     def encode(self, images):
         mean, _ = self._vae_fn("encode")(self.vae_params, images)
@@ -178,7 +160,8 @@ class ImageInterpolationPipeline:
     def __call__(self, img0, img1, num_frames: int = 17,
                  num_inference_steps: int = 50, key=None, prompt="",
                  flows=None, use_slerp: bool = True,
-                 noise_mode: str = "ideal", output_type: str = "np"):
+                 noise_mode: str = "ideal", output_type: str = "np",
+                 decode_chunk: int = None):
         assert key is not None
         alphas = np.linspace(0.0, 1.0, num_frames)
 
@@ -195,6 +178,10 @@ class ImageInterpolationPipeline:
                     "interpolate without warping, pass zero flows "
                     "explicitly.")
             flows = self.flow_fn(img0, img1)
+        # only the forward direction drives the endpoint-0 noise warp
+        # (ref :556-599), but the occlusion masks are UnFlow
+        # forward-backward consistency checks — producing fwd_occ already
+        # required both directions, so the 4-tuple costs nothing extra
         fwd_flow, fwd_occ, bwd_flow, bwd_occ = flows
 
         lat0 = self.encode(img0)
@@ -228,11 +215,17 @@ class ImageInterpolationPipeline:
         ehsN = self._prompt(prompt, num_frames)
         a_frames = jnp.asarray(alphas, jnp.float32)[:, None, None]
         if self.mesh is not None and num_frames > 1:
+            # GSPMD needs the frame axis divisible by the 'data' axis;
+            # pad by repeating the last frame, slice back after decode
+            pad = self._frame_pad(num_frames)
+            noises, ehsN, a_frames = (self._pad_rows(a, pad) for a in
+                                      (noises, ehsN, a_frames))
             noises, ehsN, a_frames = self._shard_frames(noises, ehsN,
                                                         a_frames)
         out = interp(self.unet_params, noises, ehsN, kv0, kv1, a_frames)
 
-        images = self.decode(out)
+        images = self._slice_rows(self._decode_chunked(out, decode_chunk),
+                                  num_frames)
         if output_type == "np":
             return np.clip(np.asarray(images) / 2 + 0.5, 0, 1)
         return images

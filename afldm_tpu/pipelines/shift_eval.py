@@ -30,60 +30,32 @@ class ShiftEvalResult:
         return float(self.psnrs.mean())
 
 
-def shift_equivariance_eval(pipeline, key=None, num_inference_steps: int = 50,
-                            num_shift_steps: int = 16,
-                            init_latent=None, input_image=None,
-                            batch_shifts: bool = True) -> ShiftEvalResult:
-    cfg = pipeline.unet.config
-    downsample_ratio = pipeline.vae.config.downsample_ratio
+def _eval_fns(pipeline, num_shift_steps, downsample_ratio):
+    """Jitted eval callables cached ON the pipeline object (CLAUDE.md: no
+    per-call jit closures — a sweep re-tracing the 16-shift circulant
+    upsample graph per image pays the retrace host-side every time)."""
+    cache = getattr(pipeline, "_shift_eval_fns", None)
+    if cache is None:
+        cache = pipeline._shift_eval_fns = {}
+    key = (num_shift_steps, downsample_ratio)
+    if key in cache:
+        return cache[key]
 
     latent_shifter = ImageShifter("ideal_crop",
                                   upsample_ratio=downsample_ratio)
     image_shifter = ImageShifter()  # bilinear
 
-    if init_latent is None:
-        if input_image is not None:
-            z = pipeline.encode(input_image, key=key)
-            init_latent = pipeline.ddim_inversion(z, num_inference_steps)
-        else:
-            assert key is not None
-            init_latent = jax.random.normal(
-                key, (1, cfg.sample_size, cfg.sample_size, cfg.in_channels),
-                jnp.float32)
-
-    # STORE pass + reference reconstruction
-    denoised, kv_traj = pipeline.denoise(init_latent, num_inference_steps,
-                                         collect_kv=True)
-    rec_img = pipeline.decode(denoised)
-
-    # all fractional shifts tj = k/ratio, k = 1..num_shift_steps
-    # (jitted: the TPU runtime requires compiled dispatch)
     @jax.jit
     def prep(lat):
-        cache = latent_shifter.precompute(lat)
+        c = latent_shifter.precompute(lat)
         shifted, masks = [], []
         for k in range(1, num_shift_steps + 1):
             s, m = latent_shifter.shift(lat, 0.0, k / downsample_ratio,
-                                        cache=cache)
+                                        cache=c)
             shifted.append(s)
             masks.append(m)
         return (jnp.concatenate(shifted, axis=0),
                 jnp.concatenate(masks, axis=0))
-
-    shifted, lat_masks = prep(init_latent)
-
-    mul = jax.jit(jnp.multiply)
-    if batch_shifts:
-        den_shifted, _ = pipeline.denoise(shifted, num_inference_steps,
-                                          kv_traj=kv_traj)
-        outputs = pipeline.decode(mul(den_shifted, lat_masks))
-    else:
-        outs = []
-        for i in range(num_shift_steps):
-            d, _ = pipeline.denoise(shifted[i:i + 1], num_inference_steps,
-                                    kv_traj=kv_traj)
-            outs.append(pipeline.decode(mul(d, lat_masks[i:i + 1])))
-        outputs = jnp.concatenate(outs, axis=0)
 
     # ground truth: pixel-space bilinear shift of the reference recon
     @jax.jit
@@ -98,7 +70,71 @@ def shift_equivariance_eval(pipeline, key=None, num_inference_steps: int = 50,
                 jnp.concatenate(img_masks, axis=0),
                 jnp.stack(psnrs))
 
-    targets, img_masks, psnrs = gt_and_psnr(rec_img, outputs)
+    cache[key] = {"prep": prep, "gt_and_psnr": gt_and_psnr,
+                  "mul": jax.jit(jnp.multiply)}
+    return cache[key]
+
+
+def shift_equivariance_eval(pipeline, key=None, num_inference_steps: int = 50,
+                            num_shift_steps: int = 16,
+                            init_latent=None, input_image=None,
+                            batch_shifts: bool = True,
+                            decode_chunk: int = None) -> ShiftEvalResult:
+    cfg = pipeline.unet.config
+    downsample_ratio = pipeline.vae.config.downsample_ratio
+
+    if init_latent is None:
+        if input_image is not None:
+            z = pipeline.encode(input_image, key=key)
+            init_latent = pipeline.ddim_inversion(z, num_inference_steps)
+        else:
+            assert key is not None
+            init_latent = jax.random.normal(
+                key, (1, cfg.sample_size, cfg.sample_size, cfg.in_channels),
+                jnp.float32)
+    # the protocol is per-image: the SHIFTS become the batch axis, so a
+    # multi-image input would misalign with the batch-broadcast KV cache
+    # and the per-shift PSNR indexing — score images one at a time
+    if init_latent.shape[0] != 1:
+        raise ValueError(
+            f"shift_equivariance_eval scores ONE image per call (got batch "
+            f"{init_latent.shape[0]}); loop over images instead")
+
+    fns = _eval_fns(pipeline, num_shift_steps, downsample_ratio)
+    mul = fns["mul"]
+
+    # STORE pass + reference reconstruction
+    denoised, kv_traj = pipeline.denoise(init_latent, num_inference_steps,
+                                         collect_kv=True)
+    rec_img = pipeline.decode(denoised)
+
+    # all fractional shifts tj = k/ratio, k = 1..num_shift_steps
+    # (jitted: the TPU runtime requires compiled dispatch)
+    shifted, lat_masks = fns["prep"](init_latent)
+
+    def decode(lats):
+        # optional chunking: the alias-free VAE's 2x-oversampled
+        # intermediates for num_shift_steps frames can exhaust HBM at
+        # >=512 px (same pattern as normal_control.py's chunked decode)
+        if not decode_chunk or lats.shape[0] <= decode_chunk:
+            return pipeline.decode(lats)
+        return jnp.concatenate(
+            [pipeline.decode(lats[i:i + decode_chunk])
+             for i in range(0, lats.shape[0], decode_chunk)], axis=0)
+
+    if batch_shifts:
+        den_shifted, _ = pipeline.denoise(shifted, num_inference_steps,
+                                          kv_traj=kv_traj)
+        outputs = decode(mul(den_shifted, lat_masks))
+    else:
+        outs = []
+        for i in range(num_shift_steps):
+            d, _ = pipeline.denoise(shifted[i:i + 1], num_inference_steps,
+                                    kv_traj=kv_traj)
+            outs.append(pipeline.decode(mul(d, lat_masks[i:i + 1])))
+        outputs = jnp.concatenate(outs, axis=0)
+
+    targets, img_masks, psnrs = fns["gt_and_psnr"](rec_img, outputs)
 
     return ShiftEvalResult(
         psnrs=np.asarray(psnrs),

@@ -20,15 +20,15 @@ TPU-native structure:
   that overflow one chip scale across the slice).
 """
 
-from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..models.vae import gaussian_sample
+from ._frames import FrameShardingMixin
 
 
-class VideoEquivEditingPipeline:
+class VideoEquivEditingPipeline(FrameShardingMixin):
     def __init__(self, vae, vae_params, unet, unet_params, scheduler,
                  text_encoder=None, scaling_factor=None, mesh=None):
         self.vae = vae
@@ -42,17 +42,8 @@ class VideoEquivEditingPipeline:
         self.mesh = mesh
         self._fns = {}
 
-    def _shard_frames(self, *arrs):
-        """Frame-axis (sequence) sharding: place (N, ...) / (2N, ...)
-        arrays with the leading frame dim over the mesh 'data' axis; the
-        jitted scans propagate the sharding (compute follows data), so the
-        joint denoise and the VAE decode run frame-parallel."""
-        if self.mesh is None or self.mesh.shape.get("data", 1) <= 1:
-            return arrs if len(arrs) > 1 else arrs[0]
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(self.mesh, P("data"))
-        out = tuple(jax.device_put(a, sh) for a in arrs)
-        return out if len(out) > 1 else out[0]
+    # _shard_frames/_vae_fn/_pad_rows/_slice_rows come from
+    # FrameShardingMixin (shared with ImageInterpolationPipeline)
 
     # -- helpers ----------------------------------------------------------------
 
@@ -66,14 +57,6 @@ class VideoEquivEditingPipeline:
             uncond = jnp.zeros((1, 77, dim), jnp.float32)
         return (jnp.repeat(uncond, batch, axis=0),
                 jnp.repeat(cond, batch, axis=0))
-
-    def _vae_fn(self, method):
-        # jit ONCE per pipeline: a fresh jax.jit(partial(...)) per call
-        # re-traces the whole AF-VAE every time (~90 s host-side at 512 px)
-        if method not in self._fns:
-            self._fns[method] = jax.jit(partial(self.vae.apply,
-                                                method=method))
-        return self._fns[method]
 
     def encode(self, images, key=None):
         mean, logvar = self._vae_fn("encode")(self.vae_params, images)
@@ -89,6 +72,11 @@ class VideoEquivEditingPipeline:
         ts = self.scheduler.set_timesteps(num_inference_steps)
         init_t = min(int(num_inference_steps * strength),
                      num_inference_steps)
+        if init_t < 1:
+            raise ValueError(
+                f"strength={strength} with num_inference_steps="
+                f"{num_inference_steps} truncates to ZERO denoise steps; "
+                f"raise strength to at least 1/num_inference_steps")
         return ts[num_inference_steps - init_t:]
 
     def _cfg_scan(self, num_steps, mode):
@@ -163,7 +151,7 @@ class VideoEquivEditingPipeline:
                  num_inference_steps: int = 50, guidance_scale: float = 7.5,
                  guidance_rescale: float = 0.0,
                  use_inversion: bool = False, key=None,
-                 output_type: str = "np"):
+                 output_type: str = "np", decode_chunk: int = None):
         n_frames = frames.shape[0]
         latents = self.encode(frames)
         ts = jnp.asarray(self.get_timesteps(num_inference_steps, strength))
@@ -193,8 +181,9 @@ class VideoEquivEditingPipeline:
             assert key is not None
             noise = jax.random.normal(key, latents.shape, latents.dtype)
             t0 = jnp.full((n_frames,), int(ts[0]), jnp.int32)
-            init_latents = jax.jit(self.scheduler.add_noise)(latents, noise,
-                                                             t0)
+            if "add_noise" not in self._fns:   # jit once per pipeline
+                self._fns["add_noise"] = jax.jit(self.scheduler.add_noise)
+            init_latents = self._fns["add_noise"](latents, noise, t0)
 
         # frame-0 edit trajectory: CFG store pass (ref save_activations)
         uncond1, cond1 = self.encode_prompt(prompt, negative_prompt, 1)
@@ -207,15 +196,27 @@ class VideoEquivEditingPipeline:
         # joint denoise of all frames with per-step KV LOAD + CFG
         uncondN, condN = self.encode_prompt(prompt, negative_prompt,
                                             n_frames)
+        n_padded = n_frames
+        if self.mesh is not None and n_frames > 1:
+            # GSPMD needs the frame axis divisible by the 'data' axis;
+            # pad by repeating the last frame, slice back after decode.
+            # ehsN is CFG-doubled [uncond*N, cond*N] — pad each HALF so
+            # the layout stays aligned with the padded latents
+            pad = self._frame_pad(n_frames)
+            n_padded = n_frames + pad
+            init_latents = self._pad_rows(init_latents, pad)
+            uncondN = self._pad_rows(uncondN, pad)
+            condN = self._pad_rows(condN, pad)
         ehsN = jnp.concatenate([uncondN, condN], axis=0)
         load = self._cfg_scan(n_steps, "load")
-        if self.mesh is not None and n_frames > 1:
+        if self.mesh is not None and n_padded > 1:
             init_latents, ehsN = self._shard_frames(init_latents, ehsN)
         out_latents, _ = load(self.unet_params, init_latents, ts, ts_prev,
                               ehsN, jnp.float32(guidance_scale), kv_traj,
                               jnp.float32(guidance_rescale))
 
-        images = self.decode(out_latents)
+        images = self._slice_rows(
+            self._decode_chunked(out_latents, decode_chunk), n_frames)
         if output_type == "np":
             return np.clip(np.asarray(images) / 2 + 0.5, 0, 1)
         return images

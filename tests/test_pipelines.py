@@ -150,3 +150,14 @@ def test_i2sb_pipeline(pipeline):
     out = i2sb(lq, num_inference_steps=4)
     assert out.shape == (1, 64, 64, 3)
     assert np.isfinite(out).all()
+
+
+def test_shift_eval_rejects_batched_input(pipeline):
+    """The protocol is per-image (shifts become the batch axis); a
+    multi-image latent would silently misalign with the batch-broadcast
+    KV cache and the per-shift PSNR indexing, so it must raise."""
+    import pytest
+    lat2 = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 2))
+    with pytest.raises(ValueError, match="ONE image"):
+        shift_equivariance_eval(pipeline, init_latent=lat2,
+                                num_inference_steps=2, num_shift_steps=2)

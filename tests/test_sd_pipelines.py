@@ -139,7 +139,10 @@ def test_video_editing_frame_sharding(sd_parts):
     from jax.sharding import Mesh
 
     unet, up, vae, vp = sd_parts
-    frames = jax.random.normal(jax.random.PRNGKey(5), (8, 64, 64, 3)) * 0.3
+    # 6 frames on an 8-way 'data' axis: NOT divisible — exercises the
+    # pad-to-shard-multiple path (GSPMD rejects ragged shards; the
+    # pipeline pads by repeating the last frame and slices back)
+    frames = jax.random.normal(jax.random.PRNGKey(5), (6, 64, 64, 3)) * 0.3
 
     def run(mesh):
         pipe = VideoEquivEditingPipeline(vae, vp, unet, up,
@@ -154,7 +157,7 @@ def test_video_editing_frame_sharding(sd_parts):
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),
                 ("data", "model"))
     sharded = run(mesh)
-    assert sharded.shape == (8, 64, 64, 3)
+    assert sharded.shape == (6, 64, 64, 3)
     np.testing.assert_allclose(sharded, base, atol=2e-5)
 
 
@@ -200,14 +203,17 @@ def test_interpolation_frame_sharding(sd_parts):
                                           DDIMScheduler(**DDIM_CFG),
                                           text_encoder=_ZeroTextEncoder(),
                                           flow_fn=predict_flow, mesh=mesh)
-        return pipe(img0, img1, num_frames=8, num_inference_steps=2,
+        # 5 frames on an 8-way 'data' axis: NOT divisible — exercises the
+        # pad-to-shard-multiple path (the reference default of 17 frames
+        # is also never divisible by 2/4/8 devices)
+        return pipe(img0, img1, num_frames=5, num_inference_steps=2,
                     key=jax.random.PRNGKey(14))
 
     base = run(None)
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),
                 ("data", "model"))
     sharded = run(mesh)
-    assert sharded.shape == (8, 64, 64, 3)
+    assert sharded.shape == (5, 64, 64, 3)
     np.testing.assert_allclose(sharded, base, atol=2e-5)
 
 
@@ -286,3 +292,18 @@ def test_controlnet_guess_mode_ramp(sd_parts):
                                    rtol=1e-5)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m0) * ramp[-1],
                                rtol=1e-5)
+
+
+def test_video_editing_zero_step_strength_raises(sd_parts):
+    """strength small enough to truncate to zero denoise steps must raise
+    (the SDEdit path would otherwise IndexError on an empty timestep
+    array; the inversion path would silently return un-edited frames)."""
+    import pytest
+    unet, up, vae, vp = sd_parts
+    pipe = VideoEquivEditingPipeline(vae, vp, unet, up,
+                                     DDIMScheduler(**DDIM_CFG),
+                                     text_encoder=_ZeroTextEncoder())
+    frames = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3)) * 0.3
+    with pytest.raises(ValueError, match="ZERO denoise steps"):
+        pipe(frames, "p", strength=0.01, num_inference_steps=4,
+             key=jax.random.PRNGKey(4))
