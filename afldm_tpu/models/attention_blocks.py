@@ -32,10 +32,14 @@ class CrossAttention(nn.Module):
         q = to_q(x)
 
         def attend(ctx):
-            if ctx.shape[0] < x.shape[0]:
-                ctx = jnp.repeat(ctx, x.shape[0] // ctx.shape[0], axis=0)
             k = to_k(ctx)
             v = to_v(ctx)
+            # broadcast a smaller reference batch AFTER projection (the
+            # Dense is per-sample, so it commutes with the repeat)
+            if k.shape[0] < x.shape[0]:
+                reps = x.shape[0] // k.shape[0]
+                k = jnp.repeat(k, reps, axis=0)
+                v = jnp.repeat(v, reps, axis=0)
 
             def split(t):
                 return t.reshape(t.shape[0], t.shape[1], self.num_heads,
@@ -51,7 +55,14 @@ class CrossAttention(nn.Module):
             return attend(x)
         if context2 is None:
             return attend(context)
-        return (1 - alpha) * attend(context) + alpha * attend(context2)
+        # same alpha contract as layers.Attention: default 0.5, per-frame
+        # (N,) alphas broadcast over tokens/channels — never the raw `(1 -
+        # alpha) * out` (a (N,) alpha would broadcast against channels)
+        a = (jnp.asarray(alpha, jnp.float32)
+             if alpha is not None else jnp.float32(0.5))
+        o0, o1 = attend(context), attend(context2)
+        a = a.reshape(a.shape + (1,) * (o0.ndim - a.ndim))
+        return (1 - a) * o0 + a * o1
 
 
 class FeedForward(nn.Module):

@@ -22,6 +22,16 @@ class Discriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if self.use_bn:
+            # the reference's use_bn arm is BatchNorm2d + bias-FREE convs
+            # (discriminator.py:44-45); this port implements only the
+            # default InstanceNorm + biased-conv arm — running a different
+            # architecture silently would invalidate any BN ablation
+            raise NotImplementedError(
+                "use_bn=True (BatchNorm + bias-free convs) is not "
+                "implemented; only the reference default "
+                "(InstanceNorm + biased convs) is")
+
         def norm(h, name):
             # InstanceNorm == GroupNorm with one group per channel.
             return nn.GroupNorm(num_groups=h.shape[-1], epsilon=1e-5,

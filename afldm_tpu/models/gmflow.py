@@ -198,10 +198,15 @@ class TransformerLayer(nn.Module):
             H, W = shape
             hs, ws = H // attn_splits, W // attn_splits
 
+            # official gmflow rolls by -(window // 2); note -hs // 2 in
+            # Python is -((hs+1)//2) for ODD hs, which would desync the
+            # unroll below and the shift mask (both use hs // 2)
+            sh, sw = hs // 2, ws // 2
+
             def to_win(t):
                 t = t.reshape(N, H, W, C)
                 if self.with_shift:
-                    t = jnp.roll(t, shift=(-hs // 2, -ws // 2), axis=(1, 2))
+                    t = jnp.roll(t, shift=(-sh, -sw), axis=(1, 2))
                 return split_windows(t, attn_splits).reshape(
                     -1, hs * ws, C)
 
@@ -214,7 +219,7 @@ class TransformerLayer(nn.Module):
                                 H, W).reshape(N, L, C)
             if self.with_shift:
                 msg = jnp.roll(msg.reshape(N, H, W, C),
-                               shift=(hs // 2, ws // 2),
+                               shift=(sh, sw),
                                axis=(1, 2)).reshape(N, L, C)
         else:
             msg = _attend(q, k, v)

@@ -157,19 +157,23 @@ class Attention(nn.Module):
         to_v = nn.Dense(C, dtype=self.dtype, name="to_v")
         to_out = nn.Dense(C, dtype=self.dtype, name="to_out_0")
 
-        def kv_source(override):
+        def kv_proj(override):
             kv = norm(override.reshape(override.shape[0], -1, C))
+            k, v = to_k(kv), to_v(kv)
             # broadcast a smaller reference batch over the frame batch
-            if kv.shape[0] < N:
-                reps = N // kv.shape[0]
-                kv = jnp.repeat(kv, reps, axis=0)
-            return kv
+            # AFTER norm + projection: both are per-sample, so they
+            # commute with the repeat — a 17-frame interp otherwise
+            # re-norms and re-projects 17 identical copies of the stored
+            # map in every self-attention of every denoise step
+            if k.shape[0] < N:
+                reps = N // k.shape[0]
+                k = jnp.repeat(k, reps, axis=0)
+                v = jnp.repeat(v, reps, axis=0)
+            return k, v
 
         q = to_q(xn)
 
-        def attend(kv):
-            k = to_k(kv)
-            v = to_v(kv)
+        def attend(k, v):
             hd = C // self.num_heads
 
             def split(t):
@@ -182,18 +186,17 @@ class Attention(nn.Module):
             return to_out(out)
 
         if kv_override is None:
-            out = attend(xn)
+            out = attend(to_k(xn), to_v(xn))
         elif kv_override2 is None:
-            out = attend(kv_source(kv_override))
+            out = attend(*kv_proj(kv_override))
         else:
             # CFA interpolation (ref cross_frame_attn.py:100-122): blended
             # attention over two stored maps. to_out is affine and the
             # blend weights sum to 1, so blending BEFORE to_out is exact —
             # and lets the fused two-KV flash kernel produce the blend in
             # a single pass over both KV sets (ops.attention.sdpa2)
-            kv0, kv1 = kv_source(kv_override), kv_source(kv_override2)
-            k0, v0 = to_k(kv0), to_v(kv0)
-            k1, v1 = to_k(kv1), to_v(kv1)
+            k0, v0 = kv_proj(kv_override)
+            k1, v1 = kv_proj(kv_override2)
             hd = C // self.num_heads
 
             def split(t):

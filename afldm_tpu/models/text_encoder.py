@@ -57,12 +57,15 @@ class TextEncoder:
                                   truncation=True, return_tensors="np")
             return out["input_ids"]
         # deterministic fallback: hash words to token ids (structure-only;
-        # semantics require the real vocab)
+        # semantics require the real vocab). crc32, NOT hash(): python's
+        # hash is salted per process (PYTHONHASHSEED), which would make
+        # the same prompt tokenize differently across runs
+        import zlib
         ids = np.full((len(prompts), self.max_length), 49407, np.int32)
         for i, p in enumerate(prompts):
             ids[i, 0] = 49406  # BOS
             for j, w in enumerate(p.lower().split()[: self.max_length - 2]):
-                ids[i, j + 1] = (hash(w) % 49000) + 300
+                ids[i, j + 1] = (zlib.crc32(w.encode()) % 49000) + 300
         return ids
 
     def encode(self, prompts):

@@ -46,6 +46,13 @@ class UNet2DConditionConfig:
     def from_diffusers(cls, cfg: dict, alias_free: bool = False):
         keep = {k: v for k, v in cfg.items()
                 if k in cls.__dataclass_fields__ and not k.startswith("_")}
+        if isinstance(keep.get("attention_head_dim"), (list, tuple)):
+            # SD 2.x/XL-style per-block head dims (e.g. [5,10,20,20]) —
+            # fail at config load, not deep inside the first trace
+            raise NotImplementedError(
+                f"per-block attention_head_dim "
+                f"{keep['attention_head_dim']} is not supported (SD 1.x "
+                f"configs use a single int head count)")
         keep.setdefault("alias_free", alias_free)
         return cls(**keep)
 

@@ -72,9 +72,14 @@ class VectorQuantizer(nn.Module):
 
     @nn.compact
     def __call__(self, z):
-        emb = self.param("embedding",
-                         nn.initializers.uniform(scale=2.0 / self.n_e),
-                         (self.n_e, self.e_dim))
+        # torch/diffusers VectorQuantizer init: U[-1/n, 1/n], zero-centered
+        # (flax nn.initializers.uniform samples U[0, scale), which would
+        # bias every codebook vector to positive mean at train start)
+        emb = self.param(
+            "embedding",
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32, -1.0 / self.n_e, 1.0 / self.n_e),
+            (self.n_e, self.e_dim))
         flat = z.reshape(-1, self.e_dim)
         d = (jnp.sum(flat ** 2, axis=1, keepdims=True)
              - 2 * flat @ emb.T + jnp.sum(emb ** 2, axis=1)[None, :])

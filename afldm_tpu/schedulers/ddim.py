@@ -38,6 +38,8 @@ class DDIMScheduler:
         self.config = dict(
             num_train_timesteps=num_train_timesteps, beta_start=beta_start,
             beta_end=beta_end, beta_schedule=beta_schedule,
+            trained_betas=(None if trained_betas is None
+                           else list(np.asarray(trained_betas, np.float64))),
             clip_sample=clip_sample, set_alpha_to_one=set_alpha_to_one,
             steps_offset=steps_offset, prediction_type=prediction_type,
             clip_sample_range=clip_sample_range,
@@ -87,7 +89,8 @@ class DDIMScheduler:
         a = jnp.take(self._acp, jnp.clip(t, 0, self.num_train_timesteps - 1))
         return jnp.where(t >= 0, a, jnp.float32(self.final_alpha_cumprod))
 
-    def _pred_x0_eps(self, model_output, sample, alpha_prod_t):
+    def _pred_x0_eps(self, model_output, sample, alpha_prod_t,
+                     use_clipped_model_output=False):
         beta_prod_t = 1 - alpha_prod_t
         p = self.prediction_type
         if p == "epsilon":
@@ -103,12 +106,16 @@ class DDIMScheduler:
             raise ValueError(p)
         if self.clip_sample:
             x0 = jnp.clip(x0, -self.clip_sample_range, self.clip_sample_range)
-            if p != "sample":
-                eps = (sample - alpha_prod_t ** 0.5 * x0) / beta_prod_t ** 0.5
+        if use_clipped_model_output:
+            # diffusers re-derives eps from the (possibly clipped) x0 only
+            # under this flag — clip_sample alone clips x0 but keeps the
+            # raw model output for the direction term
+            eps = (sample - alpha_prod_t ** 0.5 * x0) / beta_prod_t ** 0.5
         return x0, eps
 
     def step(self, model_output, timestep, sample, eta: float = 0.0,
-             key=None, prev_timestep=None):
+             key=None, prev_timestep=None,
+             use_clipped_model_output: bool = False):
         """One DDIM update x_t -> x_{t-Δ}; timestep may be traced. Returns
         (prev_sample, pred_original_sample).
 
@@ -126,7 +133,8 @@ class DDIMScheduler:
 
         alpha_prod_t = self._alpha(timestep)
         alpha_prod_prev = self._alpha(prev_t)
-        x0, eps = self._pred_x0_eps(model_output, sample, alpha_prod_t)
+        x0, eps = self._pred_x0_eps(model_output, sample, alpha_prod_t,
+                                    use_clipped_model_output)
 
         if eta > 0:
             variance = ((1 - alpha_prod_prev) / (1 - alpha_prod_t)

@@ -30,11 +30,20 @@ class DDPMScheduler:
         self.config = dict(
             num_train_timesteps=num_train_timesteps, beta_start=beta_start,
             beta_end=beta_end, beta_schedule=beta_schedule,
+            trained_betas=(None if trained_betas is None
+                           else list(np.asarray(trained_betas, np.float64))),
             variance_type=variance_type, clip_sample=clip_sample,
             prediction_type=prediction_type,
             clip_sample_range=clip_sample_range,
             timestep_spacing=timestep_spacing, steps_offset=steps_offset,
+            rescale_betas_zero_snr=rescale_betas_zero_snr,
         )
+        if variance_type not in ("fixed_small", "fixed_large"):
+            # learned / learned_range need a 2x-channel model output split
+            # this port does not implement — fail at load, not sampling
+            raise NotImplementedError(
+                f"variance_type={variance_type!r} (supported: fixed_small, "
+                f"fixed_large)")
         betas = make_betas(num_train_timesteps, beta_start, beta_end,
                            beta_schedule, trained_betas)
         if rescale_betas_zero_snr:
@@ -117,8 +126,12 @@ class DDPMScheduler:
         cur_coef = current_alpha ** 0.5 * beta_prod_prev / beta_prod_t
         prev = pred_coef * x0 + cur_coef * sample
 
-        variance = jnp.clip(beta_prod_prev / beta_prod_t * current_beta,
-                            1e-20, None)
+        if self.variance_type == "fixed_large":
+            # diffusers _get_variance: fixed_large uses current beta_t
+            variance = current_beta
+        else:  # fixed_small (validated in __init__)
+            variance = jnp.clip(beta_prod_prev / beta_prod_t * current_beta,
+                                1e-20, None)
         if key is not None:
             noise = jax.random.normal(key, sample.shape, sample.dtype)
             prev = prev + jnp.where(t > 0, variance ** 0.5, 0.0) * noise

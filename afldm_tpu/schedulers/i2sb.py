@@ -46,9 +46,12 @@ class I2SBScheduler:
         self.config = dict(
             num_train_timesteps=num_train_timesteps, beta_start=beta_start,
             beta_end=beta_end, beta_schedule=beta_schedule,
+            trained_betas=(None if trained_betas is None
+                           else list(np.asarray(trained_betas, np.float64))),
             clip_sample=clip_sample, prediction_type=prediction_type,
             clip_sample_range=clip_sample_range,
             timestep_spacing=timestep_spacing, steps_offset=steps_offset,
+            rescale_betas_zero_snr=rescale_betas_zero_snr,
         )
         betas = make_betas(num_train_timesteps, beta_start, beta_end,
                            beta_schedule, trained_betas)

@@ -238,11 +238,14 @@ def _build_torch_gmflow(cfg):
 
     def t_shift_mask(h, w, wh, ww, device):
         img_mask = torch.zeros(1, h, w, 1, device=device)
+        # official swin/gmflow boundaries sit at -(window // 2) — note
+        # -wh // 2 floors to -((wh+1)//2) for odd windows
+        sh, sw = wh // 2, ww // 2
         cnt = 0
-        for hs in (slice(0, -wh), slice(-wh, -wh // 2),
-                   slice(-wh // 2, None)):
-            for ws in (slice(0, -ww), slice(-ww, -ww // 2),
-                       slice(-ww // 2, None)):
+        for hs in (slice(0, -wh), slice(-wh, -sh),
+                   slice(-sh, None)):
+            for ws in (slice(0, -ww), slice(-ww, -sw),
+                       slice(-sw, None)):
                 img_mask[:, hs, ws, :] = cnt
                 cnt += 1
         mw = t_split(img_mask, h // wh).view(-1, wh * ww)
@@ -257,9 +260,12 @@ def _build_torch_gmflow(cfg):
         k = k.view(b, h, w, c)
         v = v.view(b, h, w, c)
         if with_shift:
-            q = torch.roll(q, (-wh // 2, -ww // 2), dims=(1, 2))
-            k = torch.roll(k, (-wh // 2, -ww // 2), dims=(1, 2))
-            v = torch.roll(v, (-wh // 2, -ww // 2), dims=(1, 2))
+            # official gmflow: shift_size = window // 2, rolled negated
+            # (NOT -wh // 2, which floors differently for odd windows)
+            sh, sw = wh // 2, ww // 2
+            q = torch.roll(q, (-sh, -sw), dims=(1, 2))
+            k = torch.roll(k, (-sh, -sw), dims=(1, 2))
+            v = torch.roll(v, (-sh, -sw), dims=(1, 2))
         q, k, v = (t_split(t, num_splits) for t in (q, k, v))
         scores = torch.matmul(q.view(b_new, -1, c),
                               k.view(b_new, -1, c).permute(0, 2, 1)
@@ -427,9 +433,13 @@ def _build_torch_gmflow(cfg):
     return TGMFlow(cfg)
 
 
-def test_full_forward_matches_torch(gmflow_params, rng):
+@pytest.mark.parametrize("size", [64, 80])
+def test_full_forward_matches_torch(gmflow_params, rng, size):
     """Tiny full GMFlow forward (swin attn_splits=2, shifted + unshifted
-    layers, bidir) vs the torch transcription, same weights, <=1e-4."""
+    layers, bidir) vs the torch transcription, same weights, <=1e-4.
+    size=80 gives ODD 5x5 swin windows at 1/8 resolution — pins the
+    shift_size = window // 2 roll convention (a -window // 2 roll floors
+    differently for odd windows and desyncs the unroll + shift mask)."""
     torch = pytest.importorskip("torch")
     from afldm_tpu.models.convert import flax_to_torch
 
@@ -441,7 +451,7 @@ def test_full_forward_matches_torch(gmflow_params, rng):
     assert not missing, missing[:8]
     assert not unexpected, unexpected[:8]
 
-    a = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32) * 255
+    a = rng.uniform(size=(1, size, size, 3)).astype(np.float32) * 255
     b = np.roll(a, (5, -7), axis=(1, 2)).astype(np.float32)
 
     got = np.asarray(model.apply(params, jnp.asarray(a), jnp.asarray(b),
