@@ -430,7 +430,11 @@ sdpa2_flash.defvjp(_sdpa2_fwd, _sdpa2_bwd)
 
 
 def sdpa2_xla(q, k0, v0, k1, v1, alpha, scale=None):
-    return _sdpa2_twopass(q, k0, v0, k1, v1, alpha, sdpa_xla, scale)
+    # out_dtype=q.dtype: the f32 blend must not leak f32 outputs for bf16
+    # inputs — the flash paths return q.dtype, and the model downstream
+    # must see one dtype regardless of which path the shape dispatched to
+    return _sdpa2_twopass(q, k0, v0, k1, v1, alpha, sdpa_xla, scale,
+                          out_dtype=q.dtype)
 
 
 def sdpa2(q, k0, v0, k1, v1, alpha, scale=None):
@@ -452,6 +456,12 @@ def sdpa2(q, k0, v0, k1, v1, alpha, scale=None):
                 return _sdpa2_twopass(q, k0, v0, k1, v1, alpha, sdpa_flash,
                                       scale, out_dtype=q.dtype)
             return sdpa2_flash(q, k0, v0, k1, v1, alpha, scale)
+    if _IMPL == "flash":
+        # mirror sdpa: forced flash must fail loud on unsupported shapes,
+        # not silently measure/validate the XLA fallback
+        raise ValueError(
+            f"flash kernel unsupported for sdpa2 shapes {q.shape} x "
+            f"{k0.shape} / {k1.shape}")
     return sdpa2_xla(q, k0, v0, k1, v1, alpha, scale)
 
 

@@ -257,7 +257,6 @@ def subpixel_shift(images: jax.Array, up: int = 2, shift_x: int = 1,
 # Filtered (warped) nonlinearity — the hot op
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("act", "impl"))
 def filtered_nonlinearity(x: jax.Array, act: str = "silu",
                           impl: str = "matmul") -> jax.Array:
     """2x oversample -> act -> ideal LPF(1/2) -> decimate sandwich
@@ -269,17 +268,32 @@ def filtered_nonlinearity(x: jax.Array, act: str = "silu",
     path runs rfft2/irfft2 once at base resolution and once at 2x each way
     instead of the reference's two full round trips at 2x, and skips the
     zero-stuff memory pass entirely.
+
+    The current af_precision / bf16-split settings are read HERE, at call
+    time, and passed into the jitted impl as static args — a module-level
+    jit that read the globals at trace time would pin the first trace's
+    precision forever (the inner pjit cache is process-global, so even a
+    fresh pipeline would silently reuse the stale trace).
     """
+    return _filtered_nonlinearity_jit(x, act=act, impl=impl,
+                                      precision=_AF_PRECISION,
+                                      bf16_split=_AF_BF16_SPLIT)
+
+
+@partial(jax.jit,
+         static_argnames=("act", "impl", "precision", "bf16_split"))
+def _filtered_nonlinearity_jit(x, act, impl, precision, bf16_split):
     act_fn = _ACTS[act]
     if x.ndim < 4:
         return act_fn(x)
     H, W = x.shape[1], x.shape[2]
     if (impl == "matmul" and H % 4 == 0 and W % 4 == 0
             and 2 * max(H, W) <= _MATMUL_MAX_SIZE):
-        hi = _apply_sep(x, _upsample_op(H, 2), _upsample_op(W, 2))
+        hi = _apply_sep(x, _upsample_op(H, 2), _upsample_op(W, 2),
+                        precision, bf16_split)
         hi = act_fn(hi)
         return _apply_sep(hi, _downsample_op(2 * H, 2),
-                          _downsample_op(2 * W, 2))
+                          _downsample_op(2 * W, 2), precision, bf16_split)
     if impl in ("spectral", "matmul") and H % 4 == 0 and W % 4 == 0:
         xf, dtype = _fft_f32(x)
         X = jnp.fft.rfft2(xf, axes=(1, 2))
@@ -357,7 +371,9 @@ def _downsample_op(N: int, down: int = 2) -> np.ndarray:
 # which would burn the 0.1 dB equivariance-parity budget. At latent sizes
 # these ops are bandwidth-bound and the setting is ~free; at VAE sizes
 # (>=128 px) they are MXU-bound and 'high' (3-pass, ~2e-4) trades exactness
-# for throughput. Change takes effect on the next trace (fresh jit).
+# for throughput. filtered_nonlinearity reads the setting at CALL time
+# (static jit args); direct users of the matmul ops inside their own jit
+# pick it up on their next trace.
 _AF_PRECISION = jax.lax.Precision.HIGHEST
 _PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
                "high": jax.lax.Precision.HIGH,
@@ -415,19 +431,28 @@ def _einsum_split(eq, op, x):
             + jnp.einsum(eq, jnp.asarray(lo), x, **kw))
 
 
-def _apply_sep(x, op_h, op_w):
-    """y = op_h @ x @ op_w^T over the spatial axes of NHWC, on the MXU."""
-    if _AF_BF16_SPLIT and x.dtype == jnp.bfloat16:
+def _apply_sep(x, op_h, op_w, precision=None, bf16_split=None):
+    """y = op_h @ x @ op_w^T over the spatial axes of NHWC, on the MXU.
+
+    ``precision``/``bf16_split`` default to the module globals as read at
+    trace time (fine for callers that retrace per pipeline); the
+    filtered_nonlinearity hot path threads them through explicitly so its
+    process-global jit cache keys on them."""
+    if precision is None:
+        precision = _AF_PRECISION
+    if bf16_split is None:
+        bf16_split = _AF_BF16_SPLIT
+    if bf16_split and x.dtype == jnp.bfloat16:
         y = _einsum_split("Hh,nhwc->nHwc", op_h, x).astype(jnp.bfloat16)
         return _einsum_split("Ww,nhwc->nhWc", op_w, y).astype(x.dtype)
     oh = jnp.asarray(op_h)
     ow = jnp.asarray(op_w)
     y = jnp.einsum("Hh,nhwc->nHwc", oh, x,
                    preferred_element_type=jnp.float32,
-                   precision=_AF_PRECISION)
+                   precision=precision)
     return jnp.einsum("Ww,nhwc->nhWc", ow, y,
                       preferred_element_type=jnp.float32,
-                      precision=_AF_PRECISION).astype(x.dtype)
+                      precision=precision).astype(x.dtype)
 
 
 def upsample_rfft_matmul(x, up: int = 2):

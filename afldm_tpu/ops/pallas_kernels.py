@@ -15,6 +15,7 @@ intermediate)."""
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -23,6 +24,11 @@ from .ideal_lpf import _upsample_op, _downsample_op, _ACTS, af_precision
 
 
 def _act_and_grad(act):
+    """Forward + hand-written derivative for every activation in _ACTS —
+    the fused kernels differentiate via custom_vjp, so any act the forward
+    accepts must have a grad here (a NotImplementedError would make
+    training crash only at Pallas-dispatched shapes while the XLA path
+    trains fine)."""
     fn = _ACTS[act]
 
     def grad_fn(x):
@@ -35,6 +41,18 @@ def _act_and_grad(act):
             return (x >= 0).astype(x.dtype)
         if act == "tanh":
             return 1 - jnp.tanh(x) ** 2
+        if act == "gelu":
+            # matches jax.nn.gelu's default tanh approximation
+            c = np.sqrt(2.0 / np.pi).astype(np.float32)
+            u = c * (x + 0.044715 * x ** 3)
+            t = jnp.tanh(u)
+            du = c * (1.0 + 3.0 * 0.044715 * x ** 2)
+            return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t ** 2) * du
+        if act == "mish":
+            sp_t = jnp.tanh(jax.nn.softplus(x))
+            return sp_t + x * (1.0 - sp_t ** 2) * jax.nn.sigmoid(x)
+        if act == "linear":
+            return jnp.ones_like(x)
         raise NotImplementedError(f"no fused grad for {act}")
     return fn, grad_fn
 

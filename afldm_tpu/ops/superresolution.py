@@ -5,8 +5,9 @@ separable bicubic downsampling, plus the fixed 4x degrade->nearest-upsample
 closure the I2SB trainer uses (build_sr4x, superresolution.py:288-320).
 
 NHWC. The bicubic taps match DDRM exactly (a=-0.5, 4*factor support,
-half-pixel centering); SRConv applies them separably with reflect padding
-and stride=factor."""
+half-pixel centering); SRConv applies them separably with symmetric
+boundary reflection (the reference's j<0 -> -j-1 / j>=n -> 2n-1-j rule,
+superresolution.py:180-184) and stride=factor."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -70,8 +71,8 @@ class SuperResolution(HFunctions):
 
 
 class SRConv(HFunctions):
-    """Separable strided FIR degradation with reflect padding (ref
-    superresolution.py:160-260)."""
+    """Separable strided FIR degradation with symmetric boundary
+    reflection (ref superresolution.py:160-260)."""
 
     def __init__(self, kernel, channels, img_dim, stride):
         self.kernel = jnp.asarray(kernel, jnp.float32)
@@ -79,13 +80,15 @@ class SRConv(HFunctions):
         self.img_dim = img_dim
         self.channels = channels
         self.pad = (len(kernel) - stride) // 2
+        self._A = None      # cached (img_dim//stride, img_dim) conv matrix
+        self._Apinv = None  # cached truncated pinv of _A
 
     def _conv1d(self, x, axis):
         k = self.kernel
         klen = k.shape[0]
         pad_cfg = [(0, 0)] * 4
         pad_cfg[axis] = (self.pad, klen - self.stride - self.pad)
-        xp = jnp.pad(x, pad_cfg, mode="reflect")
+        xp = jnp.pad(x, pad_cfg, mode="symmetric")
         kern_shape = (klen, 1) if axis == 1 else (1, klen)
         kern = k.reshape(*kern_shape, 1, 1)
         C = x.shape[-1]
@@ -100,10 +103,11 @@ class SRConv(HFunctions):
         return self._conv1d(self._conv1d(x, 1), 2)
 
     def H_pinv(self, y):
-        """Least-squares upsampling via the explicit pinv of the 1D conv
-        matrix (built once with numpy; img_dim x img_dim)."""
-        A = self._conv_matrix()
-        Ap = jnp.asarray(np.linalg.pinv(A))  # (img_dim, img_dim//stride)
+        """Least-squares upsampling via the truncated pinv of the 1D conv
+        matrix (built and cached once with numpy). The reference zeroes 1D
+        singular values < 3e-2 before inverting (superresolution.py:191-192);
+        a plain np.linalg.pinv keeps them and explodes the border modes."""
+        Ap = jnp.asarray(self._conv_pinv())  # (img_dim, img_dim//stride)
         y = jnp.einsum("hH,nHwc->nhwc", Ap, y)
         y = jnp.einsum("wW,nhWc->nhwc", Ap, y)
         return y
@@ -114,6 +118,8 @@ class SRConv(HFunctions):
         return jnp.einsum("Ww,nhWc->nhwc", A, y)
 
     def _conv_matrix(self):
+        if self._A is not None:
+            return self._A
         n = self.img_dim
         k = np.asarray(self.kernel)
         klen = len(k)
@@ -123,13 +129,23 @@ class SRConv(HFunctions):
             start = r * self.stride - self.pad
             for i in range(klen):
                 j = start + i
-                # reflect indexing (np.pad 'reflect' convention)
+                # symmetric reflection (ref superresolution.py:180-184)
                 if j < 0:
-                    j = -j
+                    j = -j - 1
                 if j >= n:
-                    j = 2 * n - 2 - j
+                    j = 2 * n - 1 - j
                 A[r, j] += k[i]
+        self._A = A
         return A
+
+    def _conv_pinv(self):
+        if self._Apinv is not None:
+            return self._Apinv
+        A = self._conv_matrix()
+        u, s, vt = np.linalg.svd(A, full_matrices=False)
+        s_inv = np.where(s < 3e-2, 0.0, 1.0 / np.maximum(s, 1e-30))
+        self._Apinv = ((vt.T * s_inv) @ u.T).astype(np.float32)
+        return self._Apinv
 
 
 def build_sr_bicubic(factor, image_size, data_channels=3):

@@ -211,10 +211,13 @@ def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
         py0 += (fh - down + 1) // 2
         py1 += (fh - down) // 2
 
+    in_dtype = x.dtype
     x = upfirdn2d(x, f if up > 1 else None, up=up,
                   padding=(px0, px1, py0, py1), gain=up ** 2,
                   flip_filter=flip_filter)
     kern = w if flip_weight else w[::-1, ::-1]
+    # conv accumulates in f32; restore the input dtype on the way out
+    # (the torch reference keeps the input dtype throughout)
     x = lax.conv_general_dilated(
         x.astype(jnp.float32), kern.astype(jnp.float32),
         window_strides=(1, 1),
@@ -223,4 +226,4 @@ def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
         feature_group_count=groups)
     if down > 1:
         x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
-    return x
+    return x.astype(in_dtype)

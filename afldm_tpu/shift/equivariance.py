@@ -232,9 +232,12 @@ def compute_equivariance_metrics(generate_fn, key, num_samples, batch_size,
     """EQ-T / EQ-T_frac / EQ-R PSNR loop (ref equivariance.py:210-287),
     generator-agnostic: ``generate_fn(key, transform_matrix) -> NHWC image``
     where ``transform_matrix`` is the 3x3 input-space transform the model
-    applies (identity for the reference image). Multi-device reduction goes
-    through ``jax.lax.psum`` when ``axis_name`` is set (the reference uses
-    torch.distributed.all_reduce, equivariance.py:281-282)."""
+    applies (identity for the reference image). When ``axis_name`` is set,
+    the partial sums are all-reduced across JAX processes (the reference
+    uses torch.distributed.all_reduce, equivariance.py:281-282); the value
+    of ``axis_name`` is ignored beyond being non-None — this loop runs on
+    the host, not inside pmap/shard_map, so a collective axis cannot bind
+    here and ``multihost_utils.process_allgather`` is the right seam."""
     assert compute_eqt_int or compute_eqt_frac or compute_eqr
     I = np.eye(3, dtype=np.float32)
     rng = np.random.default_rng(0)
@@ -272,7 +275,8 @@ def compute_equivariance_metrics(generate_fn, key, num_samples, batch_size,
         sums = s if sums is None else sums + s
 
     if axis_name is not None:
-        sums = jax.lax.psum(sums, axis_name)
+        from jax.experimental import multihost_utils
+        sums = multihost_utils.process_allgather(sums).sum(axis=0)
     sums = np.asarray(sums)
     mses = sums[0::2] / sums[1::2]
     psnrs = np.log10(2) * 20 - np.log10(mses) * 10

@@ -28,10 +28,16 @@ def bilinear_sample(img, coords, return_mask=False):
     """Bilinear sampling with zeros padding and align_corners=True semantics
     (ref flow_utils.py:53-76). ``coords`` is (N, H, W, 2) in (i, j) pixel
     scale. Out-of-bounds corner taps contribute zero; the optional mask is
-    1 where the sample point lies fully inside the image."""
+    1 where the sample point lies fully inside the image.
+
+    Coordinate math runs in float32 regardless of ``img.dtype``: in bf16 a
+    clipped upper bound like 511 rounds UP to 512 (out of range -> NaN
+    gathers) and sub-pixel offsets quantize to ~0.5-2 px. Only the gathered
+    values stay in the input dtype; the weighted sum accumulates in f32 and
+    is cast back on return."""
     N, H, W, C = img.shape
-    ci = coords[..., 0]
-    cj = coords[..., 1]
+    ci = coords[..., 0].astype(jnp.float32)
+    cj = coords[..., 1].astype(jnp.float32)
 
     i0 = jnp.floor(ci)
     j0 = jnp.floor(cj)
@@ -46,12 +52,12 @@ def bilinear_sample(img, coords, return_mask=False):
         flat = img.reshape(N, H * W, C)
         idx = (iic * W + jjc).reshape(N, -1, 1)
         vals = jnp.take_along_axis(flat, idx, axis=1).reshape(N, *ii.shape[1:], C)
-        return vals * (w * valid.astype(img.dtype))[..., None]
+        return vals.astype(jnp.float32) * (w * valid)[..., None]
 
     out = (tap(i0, j0, (1 - wi) * (1 - wj))
            + tap(i0 + 1, j0, wi * (1 - wj))
            + tap(i0, j0 + 1, (1 - wi) * wj)
-           + tap(i0 + 1, j0 + 1, wi * wj))
+           + tap(i0 + 1, j0 + 1, wi * wj)).astype(img.dtype)
 
     if return_mask:
         mask = ((ci >= 0) & (ci <= H - 1) & (cj >= 0) & (cj <= W - 1))
@@ -64,8 +70,7 @@ def flow_warp(feature, flow, mask=False):
     (ref flow_utils.py:79-86)."""
     b, h, w, _ = feature.shape
     grid = coords_grid(b, h, w) + flow.astype(jnp.float32)
-    return bilinear_sample(feature, grid.astype(feature.dtype),
-                           return_mask=mask)
+    return bilinear_sample(feature, grid, return_mask=mask)
 
 
 def flow_warp_nearest(img, bwd_flow):
@@ -282,9 +287,16 @@ def flow_reverse_map(feature, flow):
     return flow_warp_nearest(feature, flow)
 
 
-def flow_warp_with_occ_bg(key, img, flow, mask, is_randn, filter=None):
+def flow_warp_with_occ_bg(key, img, flow, mask, is_randn, filter=None,
+                          offsets=None):
     """Backward-warp and fill disocclusions with noise or a flat random
-    color (ref flow_utils.py:89-113)."""
+    color (ref flow_utils.py:89-113).
+
+    The ``filter='lanczos'`` branch (reference: a constant-translation
+    flow resampled with Lanczos taps) resolves its taps and slice bounds
+    at trace time, so under ``jit`` the offsets must be static: pass
+    ``offsets=(di, dj)`` in pixels. Outside jit they are read from
+    ``flow[0, 0, 0]`` as the reference does."""
     if is_randn:
         background = jax.random.normal(key, img.shape, img.dtype)
     else:
@@ -293,8 +305,15 @@ def flow_warp_with_occ_bg(key, img, flow, mask, is_randn, filter=None):
     if filter == "lanczos":
         from .equivariance import apply_fractional_translation
         h, w = img.shape[1], img.shape[2]
-        tx = -float(flow[0, 0, 0, 1]) / w
-        ty = -float(flow[0, 0, 0, 0]) / h
+        if offsets is None:
+            if isinstance(flow, jax.core.Tracer):
+                raise TypeError(
+                    "flow_warp_with_occ_bg(filter='lanczos') under jit "
+                    "needs static offsets=(di, dj) in pixels — the Lanczos "
+                    "taps and slice bounds are resolved at trace time")
+            offsets = (flow[0, 0, 0, 0], flow[0, 0, 0, 1])
+        tx = -float(offsets[1]) / w
+        ty = -float(offsets[0]) / h
         warped, _ = apply_fractional_translation(img, tx, ty)
     else:
         warped = flow_warp(img, flow)

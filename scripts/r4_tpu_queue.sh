@@ -37,8 +37,9 @@ print(float(jax.jit(lambda a:(a@a).sum())(jnp.ones((128,128)))))" \
 done
 echo "relay up at $(date -u +%H:%M:%S)"
 
-# --- verification driver for the pending commit (verify skill) ---
+# --- verification drivers for the round-4 commits (verify skill) ---
 stage verify_r4a 3000 $PY -u scripts/verify_r4a.py || true
+stage verify_r4b 3000 $PY -u scripts/verify_r4b.py || true
 
 # --- quick per-op measurement first: guarantees recorded perf evidence
 #     even if the relay window is short (VERDICT item 2) ---

@@ -254,3 +254,39 @@ def test_sdpa2_knob_dtype_contract():
     np.testing.assert_allclose(np.asarray(fused, np.float32),
                                np.asarray(unfused, np.float32),
                                atol=2e-2)
+
+
+def test_sdpa2_xla_fallback_preserves_bf16():
+    """r4 review: the XLA two-pass fallback leaked f32 outputs for bf16
+    inputs while both flash paths return q.dtype — all three paths must
+    agree so downstream dtype semantics don't depend on dispatch shape."""
+    from afldm_tpu.ops.attention import sdpa2, sdpa2_xla
+    r = np.random.default_rng(7)
+    # short-Lk / unaligned-Lq shape: always dispatches to the XLA fallback
+    q = jnp.asarray(r.standard_normal((2, 2, 77, 32)), jnp.bfloat16)
+    k0, v0, k1, v1 = (jnp.asarray(r.standard_normal((2, 2, 77, 32)),
+                                  jnp.bfloat16) for _ in range(4))
+    out = sdpa2(q, k0, v0, k1, v1, 0.5)
+    assert out.dtype == jnp.bfloat16, out.dtype
+    assert sdpa2_xla(q, k0, v0, k1, v1, 0.5).dtype == jnp.bfloat16
+
+
+def test_sdpa2_forced_flash_raises_on_unsupported():
+    """Forced 'flash' must fail loud on unsupported sdpa2 shapes (mirrors
+    sdpa), not silently measure the XLA fallback."""
+    import pytest
+    from afldm_tpu.ops.attention import sdpa2, set_attention_impl
+    r = np.random.default_rng(8)
+    q = jnp.asarray(r.standard_normal((2, 64, 32)), jnp.float32)
+    # mismatched KV lengths: the fused two-KV kernel requires k0/k1 to
+    # share Lk (the CFA caches do) — unsupported on every backend
+    k0 = jnp.asarray(r.standard_normal((2, 64, 32)), jnp.float32)
+    v0 = jnp.asarray(r.standard_normal((2, 64, 32)), jnp.float32)
+    k1 = jnp.asarray(r.standard_normal((2, 128, 32)), jnp.float32)
+    v1 = jnp.asarray(r.standard_normal((2, 128, 32)), jnp.float32)
+    set_attention_impl("flash")
+    try:
+        with pytest.raises(ValueError, match="unsupported"):
+            sdpa2(q, k0, v0, k1, v1, 0.5)
+    finally:
+        set_attention_impl("auto")

@@ -169,3 +169,72 @@ def test_alpha_warp_moves_mass(rng):
     # the unit mass moved by round(4 * 0.5) = 2 rows
     assert float(warped[0, 6, 4, 0]) == 1.0
     assert float(warped.sum()) == 1.0
+
+
+def test_flow_warp_bf16_no_nan_and_subpixel(rng):
+    """r4 review: coordinates downcast to bf16 rounded the clip bound
+    H-1=511 up to 512 (out-of-range gathers -> NaN rows) and quantized
+    sub-pixel offsets by up to 2 px. Coordinate math must stay f32."""
+    from afldm_tpu.shift import flow_warp
+    x32 = jnp.asarray(rng.standard_normal((1, 512, 512, 1)), jnp.float32)
+    flow = jnp.full((1, 512, 512, 2), 0.5, jnp.float32)
+    ref = np.asarray(flow_warp(x32, flow))
+    got = np.asarray(flow_warp(x32.astype(jnp.bfloat16), flow))
+    assert got.dtype == np.dtype("bfloat16") or str(got.dtype) == "bfloat16"
+    assert np.isfinite(got.astype(np.float32)).all()
+    np.testing.assert_allclose(got.astype(np.float32), ref, atol=0.15)
+
+
+def test_flow_warp_with_occ_bg_lanczos(rng):
+    from afldm_tpu.shift import flow_warp_with_occ_bg
+    from afldm_tpu.shift.equivariance import apply_fractional_translation
+    import pytest
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
+    mask = jnp.ones((1, 16, 16, 1))
+    flow = jnp.full((1, 16, 16, 2), 1.25, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    # eager: offsets read from the flow, must equal the explicit-offsets call
+    out1 = flow_warp_with_occ_bg(key, x, flow, mask, True, filter="lanczos")
+    out2 = flow_warp_with_occ_bg(key, x, flow, mask, True, filter="lanczos",
+                                 offsets=(1.25, 1.25))
+    want, _ = apply_fractional_translation(x, -1.25 / 16, -1.25 / 16)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(want), atol=1e-5)
+    # under jit: a traced flow without static offsets must raise loudly
+    jitted = jax.jit(lambda k, a, f, m: flow_warp_with_occ_bg(
+        k, a, f, m, True, filter="lanczos"))
+    with pytest.raises(TypeError, match="static offsets"):
+        jitted(key, x, flow, mask)
+    # ... and with static offsets it works under jit
+    jitted2 = jax.jit(lambda k, a, f, m: flow_warp_with_occ_bg(
+        k, a, f, m, True, filter="lanczos", offsets=(1.25, 1.25)))
+    np.testing.assert_allclose(np.asarray(jitted2(key, x, flow, mask)),
+                               np.asarray(out2), atol=1e-5)
+
+
+def test_equivariance_metrics_process_allreduce(rng):
+    """The axis_name seam must work on a host loop: it all-reduces across
+    JAX processes (single process here -> identity), not via an unbound
+    collective axis (which raised NameError before r4)."""
+    from afldm_tpu.shift.equivariance import compute_equivariance_metrics
+
+    def generate_fn(key, M):
+        img = jax.random.normal(key, (2, 16, 16, 3))
+        di, dj = -M[1, 2] * 16, -M[0, 2] * 16
+        return jnp.roll(img, (int(round(float(di))), int(round(float(dj)))),
+                        axis=(1, 2))
+
+    psnr_local = compute_equivariance_metrics(
+        generate_fn, jax.random.PRNGKey(0), 4, 2, 16, compute_eqt_int=True)
+    psnr_reduced = compute_equivariance_metrics(
+        generate_fn, jax.random.PRNGKey(0), 4, 2, 16, compute_eqt_int=True,
+        axis_name="data")
+    np.testing.assert_allclose(psnr_local, psnr_reduced, rtol=1e-6)
+
+
+def test_conv2d_resample_preserves_bf16(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 5)), jnp.bfloat16)
+    f = setup_filter([1, 3, 3, 1], separable=False)
+    out = conv2d_resample(x, w, f, up=2, down=2, padding=1)
+    assert out.dtype == jnp.bfloat16

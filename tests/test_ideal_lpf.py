@@ -245,3 +245,30 @@ def test_bf16_split_matmul_path(rng):
         set_af_bf16_split(False)
     b = np.asarray(filtered_nonlinearity_matmul(x32, "silu"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_af_precision_takes_effect_after_prior_trace(rng):
+    """r4 review: filtered_nonlinearity's jit cache must key on the
+    af_precision / bf16-split settings read at CALL time — a module-level
+    jit reading globals at trace time pinned the first trace's precision
+    forever (the inner pjit cache is process-global)."""
+    from afldm_tpu.ops.ideal_lpf import (
+        _filtered_nonlinearity_jit, filtered_nonlinearity,
+        set_af_precision, set_af_bf16_split)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    filtered_nonlinearity(x)  # trace at the default (highest)
+    n0 = _filtered_nonlinearity_jit._cache_size()
+    try:
+        set_af_precision("high")
+        filtered_nonlinearity(x)
+        assert _filtered_nonlinearity_jit._cache_size() == n0 + 1
+        set_af_bf16_split(True)
+        filtered_nonlinearity(x.astype(jnp.bfloat16))
+        filtered_nonlinearity(x.astype(jnp.bfloat16))  # cached now
+        n1 = _filtered_nonlinearity_jit._cache_size()
+        set_af_bf16_split(False)
+        filtered_nonlinearity(x.astype(jnp.bfloat16))
+        assert _filtered_nonlinearity_jit._cache_size() == n1 + 1
+    finally:
+        set_af_precision("highest")
+        set_af_bf16_split(False)

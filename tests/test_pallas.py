@@ -143,3 +143,18 @@ def test_af_precision_high_three_pass_kernel():
         assert bool(jnp.isfinite(g).all())
     finally:
         set_af_precision("highest")
+
+
+@pytest.mark.parametrize("act", ["gelu", "mish", "linear"])
+def test_fused_grad_all_acts(rng, act):
+    """r4 review: every activation the fused forward accepts must have a
+    hand-written gradient — gelu/mish/linear used to raise
+    NotImplementedError only at Pallas-dispatched shapes during training."""
+    from afldm_tpu.ops.pallas_kernels import filtered_act_pallas
+    from afldm_tpu.ops.ideal_lpf import filtered_nonlinearity
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 128)), jnp.float32)
+    g_pallas = jax.grad(
+        lambda a: filtered_act_pallas(a, act, "channel").sum())(x)
+    g_xla = jax.grad(lambda a: filtered_nonlinearity(a, act).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
+                               atol=2e-4)

@@ -38,35 +38,60 @@ def test_pool_sr_h_and_pinv(rng):
                                np.asarray(y), rtol=1e-4, atol=1e-5)
 
 
+def _reference_h_small(kernel, img_dim, stride):
+    """Literal transcription of the reference's 1D conv-matrix loop
+    (superresolution.py:176-186): symmetric boundary reflection
+    (j<0 -> -j-1, j>=n -> 2n-1-j), rows centered at i = stride//2 + r*stride."""
+    klen = len(kernel)
+    H_small = np.zeros((img_dim // stride, img_dim), np.float32)
+    for i in range(stride // 2, img_dim + stride // 2, stride):
+        for j in range(i - klen // 2, i + klen // 2):
+            je = j
+            if je < 0:
+                je = -je - 1
+            if je >= img_dim:
+                je = (img_dim - 1) - (je - img_dim)
+            H_small[i // stride, je] += kernel[j - i + klen // 2]
+    return H_small
+
+
+def test_srconv_matrix_matches_reference_loop():
+    # the r4 review found the old 'reflect' padding diverged from the
+    # reference in the border rows by up to ~10% of kernel mass — pin the
+    # conv matrix (and thus H/Ht/H_pinv) to the literal reference loop
+    for factor, dim in ((4, 64), (2, 16)):
+        k = bicubic_kernel_1d(factor)
+        h = SRConv(k, 1, dim, stride=factor)
+        np.testing.assert_allclose(h._conv_matrix(),
+                                   _reference_h_small(k, dim, factor),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_srconv_matches_direct_numpy(rng):
+    # the separable strided conv (H) must equal applying the reference's
+    # H_small matrix along each spatial axis
     x = rng.standard_normal((1, 16, 16, 2)).astype(np.float32)
     k = bicubic_kernel_1d(4)
     h = SRConv(k, 2, 16, stride=4)
     got = np.asarray(h.H(jnp.asarray(x)))
-
-    # literal: reflect-pad then separable strided correlation
-    pad = (len(k) - 4) // 2
-    def conv_axis(a, axis):
-        pads = [(0, 0)] * 4
-        pads[axis] = (pad, len(k) - 4 - pad)
-        ap = np.pad(a, pads, mode="reflect")
-        out_len = 16 // 4
-        sl = [slice(None)] * 4
-        acc = np.zeros([s if i != axis else out_len
-                        for i, s in enumerate(a.shape)], np.float32)
-        for r in range(out_len):
-            start = r * 4
-            window = [slice(None)] * 4
-            window[axis] = slice(start, start + len(k))
-            kshape = [1, 1, 1, 1]
-            kshape[axis] = len(k)
-            slc = [slice(None)] * 4
-            slc[axis] = r
-            acc[tuple(slc)] = (ap[tuple(window)]
-                               * k.reshape(kshape)).sum(axis=axis)
-        return acc
-    want = conv_axis(conv_axis(x, 1), 2)
+    A = _reference_h_small(k, 16, 4)
+    want = np.einsum("Hh,nhwc->nHwc", A, x)
+    want = np.einsum("Ww,nhwc->nhWc", A, want)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_srconv_pinv_truncates_small_singulars():
+    # the reference zeroes 1D singular values < 3e-2 before inverting
+    # (superresolution.py:191-192); a plain pinv would keep them
+    k = bicubic_kernel_1d(4)
+    h = SRConv(k, 1, 64, stride=4)
+    A = h._conv_matrix()
+    u, s, vt = np.linalg.svd(A, full_matrices=False)
+    s_inv = np.where(s < 3e-2, 0.0, 1.0 / np.maximum(s, 1e-30))
+    want = (vt.T * s_inv) @ u.T
+    np.testing.assert_allclose(h._conv_pinv(), want, rtol=1e-5, atol=1e-6)
+    # and the cache returns the same array object on the second call
+    assert h._conv_pinv() is h._conv_pinv()
 
 
 def test_srconv_h_pinv_right_inverse(rng):
