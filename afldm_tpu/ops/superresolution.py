@@ -97,7 +97,10 @@ class SRConv(HFunctions):
         return lax.conv_general_dilated(
             xp, kern, strides, "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=C)
+            feature_group_count=C,
+            # exact taps on the MXU: the degradation operator feeds the
+            # I2SB parity path, and bf16-default conv costs ~2e-3 abs err
+            precision=lax.Precision.HIGHEST)
 
     def H(self, x):
         return self._conv1d(self._conv1d(x, 1), 2)
@@ -108,14 +111,16 @@ class SRConv(HFunctions):
         singular values < 3e-2 before inverting (superresolution.py:191-192);
         a plain np.linalg.pinv keeps them and explodes the border modes."""
         Ap = jnp.asarray(self._conv_pinv())  # (img_dim, img_dim//stride)
-        y = jnp.einsum("hH,nHwc->nhwc", Ap, y)
-        y = jnp.einsum("wW,nhWc->nhwc", Ap, y)
+        hi = lax.Precision.HIGHEST
+        y = jnp.einsum("hH,nHwc->nhwc", Ap, y, precision=hi)
+        y = jnp.einsum("wW,nhWc->nhwc", Ap, y, precision=hi)
         return y
 
     def Ht(self, y):
         A = jnp.asarray(self._conv_matrix())
-        y = jnp.einsum("Hh,nHwc->nhwc", A, y)
-        return jnp.einsum("Ww,nhWc->nhwc", A, y)
+        hi = lax.Precision.HIGHEST
+        y = jnp.einsum("Hh,nHwc->nhwc", A, y, precision=hi)
+        return jnp.einsum("Ww,nhWc->nhwc", A, y, precision=hi)
 
     def _conv_matrix(self):
         if self._A is not None:
