@@ -161,6 +161,25 @@ def train_section(out):
                    f"| {r.get('tflop_per_s', '?')} | {mfu_s} |")
 
 
+def serve_section(out):
+    r = _json("results/bench_serve.json")
+    out.append("### Serving throughput (scripts/bench_serve.py, "
+               "SamplerService at flagship size)")
+    if not r:
+        out.append("*pending (relay)*")
+        return
+    s, c = r["serial"], r["concurrent"]
+    out.append(f"- workload: {r['workload']}")
+    out.append(f"- serial (1 client): {s['samples_per_s']} samples/s, "
+               f"p50 latency {s['p50_latency_s']} s")
+    out.append(f"- concurrent ({c['clients']} clients): "
+               f"{c['samples_per_s']} samples/s, p50 latency "
+               f"{c['p50_latency_s']} s, {c['device_batches']} device "
+               f"dispatches for {c['requests']} requests")
+    out.append(f"- **microbatching speedup: "
+               f"{r['microbatching_speedup']}x**")
+
+
 def headline_section(out):
     rows = _jsonl("BENCH_HISTORY.jsonl")
     out.append("### Headline bench history (bench.py drift guard)")
@@ -206,6 +225,8 @@ def main():
     train_section(out)
     out.append("")
     flagship_section(out)
+    out.append("")
+    serve_section(out)
     out.append("")
     headline_section(out)
     out.append(END)

@@ -75,6 +75,7 @@ stage roofline_bf16 4800 $PY -u scripts/roofline_denoise.py --dtype bf16 \
 stage roofline_f32 4800 $PY -u scripts/roofline_denoise.py --dtype f32 \
     --out results/roofline_denoise_f32.json || true
 stage af_precision 5400 $PY -u scripts/eval_af_precision.py || true
+stage bench_serve 4800 $PY -u scripts/bench_serve.py || true
 
 # --- training MFU: full vs dots remat at the r2 measurement point
 #     (batch 32 bf16; VERDICT item 3) ---

@@ -65,3 +65,19 @@ def test_last_row_wins_and_report(tmp_path, monkeypatch):
     bm = json.loads((tmp_path / "results" / "benchmarks.json").read_text())
     assert bm["flagship_ab_256px"]["af_psnr_gain_db"] == 2.5
     assert bm["flagship_ab_256px"]["weights"] == "trained"
+
+
+def test_serve_section(tmp_path, monkeypatch):
+    rc = _setup(tmp_path, monkeypatch)
+    (tmp_path / "results" / "bench_serve.json").write_text(json.dumps({
+        "workload": "FFHQ-256 AF-LDM 50-step denoise + VAE decode",
+        "steps": 50,
+        "serial": {"requests": 8, "samples_per_s": 2.5,
+                   "p50_latency_s": 0.4},
+        "concurrent": {"clients": 8, "requests": 24, "samples_per_s": 8.1,
+                       "p50_latency_s": 0.9, "device_batches": 4},
+        "microbatching_speedup": 3.24}))
+    rc.main()
+    text = (tmp_path / "BENCH_NOTES.md").read_text()
+    assert "microbatching speedup: 3.24x" in text
+    assert "8.1 samples/s" in text
