@@ -161,6 +161,53 @@ def train_section(out):
                    f"| {r.get('tflop_per_s', '?')} | {mfu_s} |")
 
 
+def sweep_section(out):
+    rows = _jsonl("results/bench_flash_sweep.json")
+    out.append("### Flash-kernel block sweep + attribution "
+               "(scripts/bench_flash_sweep.py)")
+    if not rows:
+        out.append("*pending (relay)*")
+        return
+    sweeps = {}
+    probes = {}
+    for r in rows:    # last row per key wins (re-runs refine)
+        if r.get("kind") == "sweep" and "ms" in r:
+            sweeps[(r["op"], r["bq"], r["bk"], r["dtype"])] = r
+        elif r.get("kind") == "probe":
+            probes[(r["op"], r["dtype"])] = r
+    if sweeps:
+        out.append("| op | dtype | block_q | block_k | ms |")
+        out.append("|---|---|---|---|---|")
+        for k, r in sorted(sweeps.items(), key=str):
+            out.append(f"| {r['op']} | {r['dtype']} | {r['bq']} | "
+                       f"{r['bk']} | {r['ms']} |")
+    for k, r in sorted(probes.items(), key=str):
+        out.append(f"- probe {r['op']}/{r['dtype']} @ bq={r['bq']} "
+                   f"bk={r['bk']}: flash {r['flash_ms']} ms, dots-only "
+                   f"{r['dots_only_ms']} ms, stream-only "
+                   f"{r['stream_only_ms']} ms -> softmax-VPU share "
+                   f"~{r['softmax_share'] * 100:.0f}%, memory share "
+                   f"~{r['mem_share'] * 100:.0f}%")
+
+
+def gen_fd_section(out):
+    out.append("### Generation-quality Frechet distance "
+               "(scripts/eval_gen_fd.py; pixel features cross-arm "
+               "comparable, Inception egress-blocked)")
+    found = False
+    for arm in ("naive", "af"):
+        r = _json(f"results/flagship_ab/{arm}/gen_fd.json")
+        if not r:
+            continue
+        found = True
+        out.append(f"- {arm}: FD(pixel-pool) {r['fd_pixel_pool']}, "
+                   f"FD(own-VAE latent) {r['fd_vae_latent']} "
+                   f"({r['num_samples']} samples vs {r['num_real']} real, "
+                   f"{r['steps']} steps)")
+    if not found:
+        out.append("*pending (relay: runs after the A/B arms train)*")
+
+
 def serve_section(out):
     r = _json("results/bench_serve.json")
     out.append("### Serving throughput (scripts/bench_serve.py, "
@@ -195,6 +242,13 @@ def headline_section(out):
 def update_benchmarks_json():
     path = os.path.join(ROOT, "results", "benchmarks.json")
     bm = _json("results/benchmarks.json") or {}
+    fd = {arm: _json(f"results/flagship_ab/{arm}/gen_fd.json")
+          for arm in ("naive", "af")}
+    if all(fd.values()):
+        bm["flagship_gen_fd"] = {
+            arm: {"fd_pixel_pool": fd[arm]["fd_pixel_pool"],
+                  "fd_vae_latent": fd[arm]["fd_vae_latent"]}
+            for arm in fd}
     rep = _json("results/flagship_ab/report.json")
     if rep:
         bm["flagship_ab_256px"] = {
@@ -225,6 +279,10 @@ def main():
     train_section(out)
     out.append("")
     flagship_section(out)
+    out.append("")
+    gen_fd_section(out)
+    out.append("")
+    sweep_section(out)
     out.append("")
     serve_section(out)
     out.append("")
