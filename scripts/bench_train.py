@@ -32,6 +32,13 @@ def main():
                    choices=["full", "dots"],
                    help="remat selectivity under --gradient_checkpointing")
     p.add_argument("--no_shift_loss", action="store_true")
+    p.add_argument("--af_precision", default="highest",
+                   choices=["highest", "high", "default"],
+                   help="MXU precision for the alias-free circulant "
+                        "matmuls (ops.ideal_lpf.set_af_precision). "
+                        "eval_af_precision.py measured 'high' at +0.014 dB "
+                        "vs 'highest' on the flagship shift eval — inside "
+                        "the 0.1 dB parity budget")
     p.add_argument("--cpu", action="store_true",
                    help="force the host CPU backend (smoke tests)")
     p.add_argument("--out", default="results/bench_train_r4.jsonl",
@@ -46,8 +53,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
+    from afldm_tpu.ops.ideal_lpf import set_af_precision
     from afldm_tpu.train import (BaseTrainingConfig, LDMTrainingConfig,
                                  create_trainer)
+
+    set_af_precision(args.af_precision)
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     vae_cfg = json.load(open(os.path.join(root, "configs/vae/model_afvae.json")))
@@ -104,6 +114,7 @@ def main():
         "mixed_precision": args.mixed_precision,
         "gradient_checkpointing": args.gradient_checkpointing,
         "remat_policy": args.remat_policy,
+        "af_precision": args.af_precision,
         "shift_loss": not args.no_shift_loss,
         "steps_per_s": round(1.0 / best, 4),
         "images_per_s": round(args.batch / best, 3),

@@ -7,11 +7,14 @@ script is the live TPU-side consumer of utils/metric_utils.py: it
 accumulates FeatureStats over (a) the training dataset and (b) fresh
 pipeline samples, and reports frechet_distance between them.
 
-Inception weights are egress-blocked (CLAUDE.md), so features are
-model-independent average-pooled pixels (default 8x8x3 = 192 dims) —
-deterministic and identical for both arms, hence cross-arm comparable;
-optionally also the arm's OWN VAE latent statistics (within-arm only:
-the two arms have different encoders).
+Inception weights are egress-blocked (CLAUDE.md), so three banks stand in:
+(a) model-independent average-pooled pixels (default 8x8x3 = 192 dims),
+(b) the fixed random multi-scale conv bank from train/perceptual.py
+(seeded, identical for both arms; LPIPS-style unit-normed stage features,
+4x4 spatial pooling -> 896 dims — the perceptual proxy VERDICT r4 item 3
+asked for), and (c) the arm's OWN VAE latent statistics (within-arm only:
+the two arms have different encoders). (a) and (b) are deterministic and
+shared across arms, hence cross-arm comparable.
 
   python scripts/eval_gen_fd.py --arm naive
   python scripts/eval_gen_fd.py --arm af
@@ -57,6 +60,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     from afldm_tpu.pipelines.loading import load_pipeline
     from afldm_tpu.train.data import ImageFolderDataset
+    from afldm_tpu.train.perceptual import _features, _filters
     from afldm_tpu.utils.metric_utils import (FeatureStats, ProgressMonitor,
                                               frechet_distance)
 
@@ -73,6 +77,21 @@ def main():
         x = img01.reshape(n, pool, h // pool, pool, w // pool, c)
         return x.mean(axis=(2, 4)).reshape(n, pool * pool * 3)
 
+    rvgg_bank = _filters()   # fixed seed-0 random filters, arm-independent
+
+    @jax.jit
+    def rvgg_features(img_m11):
+        """(N, H, W, 3) in [-1,1] -> unit-normed random multi-scale conv
+        features, 4x4 spatial pooling per stage, concatenated (896 dims)."""
+        feats = _features(img_m11, rvgg_bank)
+        cells = []
+        for h in feats:
+            n, hh, ww, c = h.shape
+            g = min(4, hh)
+            x = h.reshape(n, g, hh // g, g, ww // g, c).mean(axis=(2, 4))
+            cells.append(x.reshape(n, g * g * c))
+        return jnp.concatenate(cells, axis=-1)
+
     @jax.jit
     def latent_features(img_m11):
         """(N, H, W, 3) in [-1,1] -> pooled VAE posterior-mean latents."""
@@ -82,27 +101,31 @@ def main():
         x = z.reshape(n, lp, h // lp, lp, w // lp, c)
         return x.mean(axis=(2, 4)).reshape(n, lp * lp * c)
 
-    def add(stats_px, stats_lat, img01, monitor, done):
+    def add(stats, img01, monitor, done):
         img01 = jnp.asarray(img01, jnp.float32)
-        stats_px.append(np.asarray(pixel_features(img01)))
-        stats_lat.append(np.asarray(latent_features(img01 * 2.0 - 1.0)))
+        m11 = img01 * 2.0 - 1.0
+        stats["px"].append(np.asarray(pixel_features(img01)))
+        stats["rvgg"].append(np.asarray(rvgg_features(m11)))
+        stats["lat"].append(np.asarray(latent_features(m11)))
         monitor.update(done)
+
+    def make_stats(max_items):
+        return {k: FeatureStats(capture_mean_cov=True, max_items=max_items)
+                for k in ("px", "rvgg", "lat")}
 
     # ---- real-data statistics ----
     ds = ImageFolderDataset(args.data_dir, resolution=args.resolution)
     n_real = min(args.num_real, len(ds))
-    real_px = FeatureStats(capture_mean_cov=True, max_items=n_real)
-    real_lat = FeatureStats(capture_mean_cov=True, max_items=n_real)
+    real = make_stats(n_real)
     mon = ProgressMonitor(tag="real", num_items=n_real,
                           flush_interval=args.batch * 4)
     for start in range(0, n_real, args.batch):
         idx = range(start, min(start + args.batch, n_real))
         batch = np.stack([ds[i]["input"] for i in idx])   # [-1,1]
-        add(real_px, real_lat, (batch + 1.0) / 2.0, mon, start + len(batch))
+        add(real, (batch + 1.0) / 2.0, mon, start + len(batch))
 
     # ---- generated-sample statistics ----
-    gen_px = FeatureStats(capture_mean_cov=True, max_items=args.num_samples)
-    gen_lat = FeatureStats(capture_mean_cov=True, max_items=args.num_samples)
+    gen = make_stats(args.num_samples)
     mon = ProgressMonitor(tag="samples", num_items=args.num_samples,
                           flush_interval=args.batch)
     key = jax.random.PRNGKey(args.seed)
@@ -113,18 +136,21 @@ def main():
         img01 = pipe(batch_size=n, key=k,
                      num_inference_steps=args.steps, output_type="np")
         done += n
-        add(gen_px, gen_lat, img01, mon, done)
+        add(gen, img01, mon, done)
 
     out = {
         "arm": args.arm, "pipeline_dir": pipe_dir,
         "num_real": n_real, "num_samples": args.num_samples,
         "steps": args.steps, "resolution": args.resolution,
-        "fd_pixel_pool": round(frechet_distance(real_px, gen_px), 5),
-        "fd_vae_latent": round(frechet_distance(real_lat, gen_lat), 5),
+        "fd_pixel_pool": round(frechet_distance(real["px"], gen["px"]), 5),
+        "fd_rvgg": round(frechet_distance(real["rvgg"], gen["rvgg"]), 5),
+        "fd_vae_latent": round(frechet_distance(real["lat"], gen["lat"]), 5),
         "pixel_feature_dim": pool * pool * 3,
-        "_note": ("fd_pixel_pool uses model-independent avg-pooled pixel "
-                  "features (cross-arm comparable; Inception is "
-                  "egress-blocked). fd_vae_latent uses the arm's own VAE "
+        "rvgg_feature_dim": int(real["rvgg"].num_features or 0),
+        "_note": ("fd_pixel_pool (avg-pooled pixels) and fd_rvgg (fixed "
+                  "random multi-scale conv bank, train/perceptual.py) are "
+                  "model-independent and cross-arm comparable; Inception "
+                  "is egress-blocked. fd_vae_latent uses the arm's own VAE "
                   "encoder (within-arm tracking only)."),
     }
     print(json.dumps(out, indent=2))

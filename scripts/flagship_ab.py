@@ -194,6 +194,12 @@ def stage_eval(args):
          np.clip(np.abs(res.outputs - res.targets) * 10 - 1, -1, 1)],
         axis=2)
     save_gif_from_tensors(strip, os.path.join(arm_dir(arm), "shift.gif"))
+    # half-res copy for git (ADVICE r4: ~10 MB/arm per eval adds up; the
+    # full-res strip stays on disk, the committed artifact is ~4x smaller)
+    small = strip.reshape(strip.shape[0], strip.shape[1] // 2, 2,
+                          strip.shape[2] // 2, 2, -1).mean(axis=(2, 4))
+    save_gif_from_tensors(small, os.path.join(arm_dir(arm),
+                                              "shift_small.gif"))
 
 
 def stage_report(args):

@@ -1,7 +1,8 @@
 """Collect round-4 TPU measurement artifacts into BENCH_NOTES.md and
 results/benchmarks.json.
 
-Runs as the FINAL r4_tpu_queue.sh stage, so the numbers are recorded the
+Runs after every TPU-queue milestone (scripts/r5_queue.sh
+commit_evidence), so the numbers are recorded the
 moment the queue finishes even if no interactive session is alive
 (round-3 failure mode: measurement scripts ran, numbers never landed in
 the notes — VERDICT r3 items 2/3).
@@ -144,20 +145,23 @@ def train_section(out):
     rows = {}
     for r in _jsonl("results/bench_train_r4.jsonl"):
         rows[(r.get("batch"), r.get("mixed_precision"),
-              r.get("gradient_checkpointing"), r.get("remat_policy"))] = r
+              r.get("gradient_checkpointing"), r.get("remat_policy"),
+              r.get("af_precision", "highest"))] = r
     out.append("### Training step throughput / MFU (scripts/bench_train.py)")
     if not rows:
         out.append("*pending (relay)*")
         return
-    out.append("| batch | precision | remat | policy | img/s | TFLOP/s | "
-               "MFU |")
-    out.append("|---|---|---|---|---|---|---|")
+    out.append("| batch | precision | remat | policy | af_prec | img/s | "
+               "TFLOP/s | MFU |")
+    out.append("|---|---|---|---|---|---|---|---|")
     for k, r in sorted(rows.items(), key=str):
         mfu = r.get("mfu_vs_197tflops_bf16")
         mfu_s = f"{mfu * 100:.1f}%" if mfu is not None else "?"
         out.append(f"| {r['batch']} | {r['mixed_precision']} | "
                    f"{r['gradient_checkpointing']} | "
-                   f"{r.get('remat_policy', 'full')} | {r['images_per_s']} "
+                   f"{r.get('remat_policy', 'full')} | "
+                   f"{r.get('af_precision', 'highest')} | "
+                   f"{r['images_per_s']} "
                    f"| {r.get('tflop_per_s', '?')} | {mfu_s} |")
 
 
@@ -192,18 +196,23 @@ def sweep_section(out):
 
 def gen_fd_section(out):
     out.append("### Generation-quality Frechet distance "
-               "(scripts/eval_gen_fd.py; pixel features cross-arm "
-               "comparable, Inception egress-blocked)")
+               "(scripts/eval_gen_fd.py; pixel + random-VGG features "
+               "cross-arm comparable, Inception egress-blocked)")
     found = False
     for arm in ("naive", "af"):
-        r = _json(f"results/flagship_ab/{arm}/gen_fd.json")
-        if not r:
-            continue
-        found = True
-        out.append(f"- {arm}: FD(pixel-pool) {r['fd_pixel_pool']}, "
-                   f"FD(own-VAE latent) {r['fd_vae_latent']} "
-                   f"({r['num_samples']} samples vs {r['num_real']} real, "
-                   f"{r['steps']} steps)")
+        for tag, path in (("", f"results/flagship_ab/{arm}/gen_fd.json"),
+                          (" [pass-1]",
+                           f"results/flagship_ab/{arm}/gen_fd_p1.json")):
+            r = _json(path)
+            if not r:
+                continue
+            found = True
+            rv = r.get("fd_rvgg")
+            rv_s = f"FD(rvgg-896d) {rv}, " if rv is not None else ""
+            out.append(f"- {arm}{tag}: FD(pixel-pool) {r['fd_pixel_pool']}, "
+                       f"{rv_s}FD(own-VAE latent) {r['fd_vae_latent']} "
+                       f"({r['num_samples']} samples vs {r['num_real']} "
+                       f"real, {r['steps']} steps)")
     if not found:
         out.append("*pending (relay: runs after the A/B arms train)*")
 
@@ -246,8 +255,9 @@ def update_benchmarks_json():
           for arm in ("naive", "af")}
     if all(fd.values()):
         bm["flagship_gen_fd"] = {
-            arm: {"fd_pixel_pool": fd[arm]["fd_pixel_pool"],
-                  "fd_vae_latent": fd[arm]["fd_vae_latent"]}
+            arm: {k: fd[arm][k] for k in
+                  ("fd_pixel_pool", "fd_rvgg", "fd_vae_latent")
+                  if k in fd[arm]}
             for arm in fd}
     rep = _json("results/flagship_ab/report.json")
     if rep:

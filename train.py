@@ -27,6 +27,12 @@ def main():
                         help="capture a jax.profiler trace of train steps "
                              "11..10+N into <output_dir>/<logging_dir>/"
                              "profile (view with TensorBoard/XProf)")
+    parser.add_argument("--spike_guard", type=float, default=5.0,
+                        metavar="F",
+                        help="warn when train_loss exceeds F x the running "
+                             "median of the last 200 steps (needs >=50 "
+                             "history); the ratio is logged to "
+                             "metrics.jsonl as loss_spike_ratio. 0 disables")
     parser.add_argument("--nan_guard", type=int, default=3, metavar="K",
                         help="failure detection (SURVEY.md §5.3; the "
                              "reference has none): on a non-finite loss, "
@@ -157,6 +163,13 @@ def main():
     done = False
     prof = None
     nan_restores = 0
+    # loss-spike guard: the shift loss is an UNNORMALIZED latent-space MSE
+    # whose per-step variance tracks the random shift offset and the latent
+    # scale (see BENCH_NOTES "AF-VAE shift-loss variance"), so single high
+    # samples are expected — the guard flags sustained departures from the
+    # running median rather than silencing them
+    from collections import deque
+    loss_hist = deque(maxlen=200)
     profile_start = global_step + 10  # steady state, resume-safe
     for epoch in range(base.num_epochs):
         if done:
@@ -165,6 +178,11 @@ def main():
                                    seed=(base.seed or 0) + epoch,
                                    process_index=jax.process_index(),
                                    process_count=jax.process_count()):
+            # idempotent resume: a re-run of a completed stage must not
+            # train past max_steps (it would break A/B step-matching)
+            if args.max_steps and global_step >= args.max_steps:
+                done = True
+                break
             # profile a window after warmup/compile so the trace holds
             # steady-state steps only (SURVEY.md §5.1)
             if args.profile and global_step == profile_start:
@@ -194,6 +212,19 @@ def main():
                     log.warning("restored %s; skipping this batch", path)
                 continue
             nan_restores = 0
+            if args.spike_guard:
+                lv = logs.get("train_loss")
+                if lv is not None and np.isfinite(lv):
+                    if len(loss_hist) >= 50:
+                        med = float(np.median(loss_hist))
+                        ratio = lv / max(med, 1e-12)
+                        if ratio > args.spike_guard:
+                            log.warning(
+                                "loss spike at step %d: train_loss %.4g is "
+                                "%.1fx the running median %.4g", global_step,
+                                lv, ratio, med)
+                        collector.report("loss_spike_ratio", ratio)
+                    loss_hist.append(lv)
             global_step += 1
             if prof is not None and global_step == profile_start + args.profile:
                 prof.__exit__(None, None, None)
