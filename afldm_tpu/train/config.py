@@ -35,6 +35,12 @@ class BaseTrainingConfig:
     # matmul/conv outputs are kept, only elementwise work is recomputed
     # (trades HBM back for MFU; the standard TPU middle ground)
     remat_policy: str = "full"
+    # MXU precision for the alias-free circulant matmuls
+    # (ops.ideal_lpf.set_af_precision): "highest" (exact, default),
+    # "high" (3-pass bf16, ~2e-4 — measured +0.014 dB on the flagship
+    # shift eval, inside the 0.1 dB parity budget, ~1.6x faster at VAE
+    # sizes), "default" (1-pass bf16, benchmarking only)
+    af_precision: str = "highest"
     # tensor-parallel size of the mesh 'model' axis (1 = pure DP; params,
     # Adam state and EMA shard their output channels across it —
     # parallel/sharding_rules.py)

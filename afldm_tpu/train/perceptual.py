@@ -132,6 +132,29 @@ def _is_vgg(stages):
     return isinstance(stages[0][0], tuple)
 
 
+def pooled_feature_vector(x, filters=None, grid=4):
+    """Fixed feature descriptor for Frechet-distance metrics: the unit-
+    normed multi-scale stage features of ``x`` (NHWC in [-1, 1]), each
+    average-pooled to a (grid, grid) cell map and concatenated ->
+    (N, sum(grid^2 * C_stage)). With the default random bank this is 896
+    dims, deterministic (seed-0 filters), and model-independent — the
+    cross-arm-comparable stand-in for Inception features in a zero-egress
+    build (the role of the reference's FID feature extractor,
+    af_libs/metric_utils.py:79-158)."""
+    filters = filters or _filters()
+    is_vgg = _is_vgg(filters)
+    if is_vgg:
+        x = (x - jnp.asarray(_LPIPS_SHIFT)) / jnp.asarray(_LPIPS_SCALE)
+    feats = _features(x, filters, max_pool=is_vgg)
+    cells = []
+    for h in feats:
+        n, hh, ww, c = h.shape
+        g = min(grid, hh, ww)
+        v = h.reshape(n, g, hh // g, g, ww // g, c).mean(axis=(2, 4))
+        cells.append(v.reshape(n, g * g * c))
+    return jnp.concatenate(cells, axis=-1)
+
+
 def perceptual_loss(a, b, filters=None):
     """Sum over stages of mean squared feature distance; returns a scalar
     (per-batch mean, matching torch.sum(lpips)/bsz given lpips returns one

@@ -60,7 +60,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     from afldm_tpu.pipelines.loading import load_pipeline
     from afldm_tpu.train.data import ImageFolderDataset
-    from afldm_tpu.train.perceptual import _features, _filters
+    from afldm_tpu.train.perceptual import pooled_feature_vector
     from afldm_tpu.utils.metric_utils import (FeatureStats, ProgressMonitor,
                                               frechet_distance)
 
@@ -77,20 +77,11 @@ def main():
         x = img01.reshape(n, pool, h // pool, pool, w // pool, c)
         return x.mean(axis=(2, 4)).reshape(n, pool * pool * 3)
 
-    rvgg_bank = _filters()   # fixed seed-0 random filters, arm-independent
-
     @jax.jit
     def rvgg_features(img_m11):
         """(N, H, W, 3) in [-1,1] -> unit-normed random multi-scale conv
         features, 4x4 spatial pooling per stage, concatenated (896 dims)."""
-        feats = _features(img_m11, rvgg_bank)
-        cells = []
-        for h in feats:
-            n, hh, ww, c = h.shape
-            g = min(4, hh)
-            x = h.reshape(n, g, hh // g, g, ww // g, c).mean(axis=(2, 4))
-            cells.append(x.reshape(n, g * g * c))
-        return jnp.concatenate(cells, axis=-1)
+        return pooled_feature_vector(img_m11)
 
     @jax.jit
     def latent_features(img_m11):

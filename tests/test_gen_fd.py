@@ -62,6 +62,7 @@ def test_eval_gen_fd_script(tmp_path):
     res = json.loads(out.read_text())
     assert res["num_real"] == 8 and res["num_samples"] == 4
     assert res["pixel_feature_dim"] == 4 * 4 * 3
-    for k in ("fd_pixel_pool", "fd_vae_latent"):
+    assert res["rvgg_feature_dim"] == 896  # 4x4 cells x (8+16+32) channels
+    for k in ("fd_pixel_pool", "fd_rvgg", "fd_vae_latent"):
         v = res[k]
         assert isinstance(v, float) and v >= 0.0, (k, v)

@@ -101,3 +101,18 @@ def test_interpolation_requires_flow():
     with pytest.raises(ValueError, match="needs optical flow"):
         pipe(jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3)),
              num_frames=2, key=jax.random.PRNGKey(0))
+
+
+def test_pooled_feature_vector(rng):
+    """Frechet feature bank (eval_gen_fd.py): deterministic seed-0 random
+    filters, 4x4 pooled stage features, 896 dims, content-sensitive."""
+    a = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    fa = perceptual.pooled_feature_vector(a)
+    assert fa.shape == (2, 896)  # 16 cells x (8 + 16 + 32) channels
+    fa2 = perceptual.pooled_feature_vector(a)
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fa2))
+    fb = perceptual.pooled_feature_vector(a + 0.3)
+    assert float(jnp.abs(fa - fb).max()) > 1e-4
+    # jittable (the TPU runtime has no eager dispatch)
+    fj = jax.jit(perceptual.pooled_feature_vector)(a)
+    np.testing.assert_allclose(np.asarray(fj), np.asarray(fa), atol=1e-6)

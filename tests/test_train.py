@@ -370,3 +370,26 @@ def test_ldm_remat_policy_dots_matches_full(tmp_path):
     from afldm_tpu.train.trainer import remat_policy as rp
     with pytest.raises(ValueError):
         rp("bogus")
+
+
+def test_af_precision_config_knob(tmp_path):
+    """base.af_precision flows from JSON to ops.ideal_lpf.set_af_precision
+    (the training-MFU lever measured in BENCH_NOTES round 5)."""
+    import json
+    import jax
+    from afldm_tpu.train import load_training_config
+    from afldm_tpu.ops import ideal_lpf
+
+    cfg = {"base": {"output_dir": str(tmp_path), "af_precision": "high"},
+           "vae": {"model_cfg": ""}}
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    loaded = load_training_config(str(p))
+    assert loaded["base"].af_precision == "high"
+    # default stays exact
+    assert ideal_lpf.af_precision() == jax.lax.Precision.HIGHEST
+    try:
+        ideal_lpf.set_af_precision(loaded["base"].af_precision)
+        assert ideal_lpf.af_precision() == jax.lax.Precision.HIGH
+    finally:
+        ideal_lpf.set_af_precision("highest")

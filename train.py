@@ -89,6 +89,11 @@ def main():
     trainer_key = next(k for k in cfgs if k != "base")
     cfg = cfgs[trainer_key]
 
+    if getattr(base, "af_precision", "highest") != "highest":
+        from afldm_tpu.ops.ideal_lpf import set_af_precision
+        set_af_precision(base.af_precision)
+        log.warning("alias-free matmul precision: %s", base.af_precision)
+
     os.makedirs(base.output_dir, exist_ok=True)
     os.makedirs(os.path.join(base.output_dir, base.logging_dir),
                 exist_ok=True)
