@@ -32,6 +32,9 @@ def main():
                    choices=["full", "dots"],
                    help="remat selectivity under --gradient_checkpointing")
     p.add_argument("--no_shift_loss", action="store_true")
+    p.add_argument("--naive", action="store_true",
+                   help="af_models=False (the alias-free training tax is "
+                        "full minus this, per-op-class attribution)")
     p.add_argument("--af_precision", default="highest",
                    choices=["highest", "high", "default"],
                    help="MXU precision for the alias-free circulant "
@@ -72,7 +75,7 @@ def main():
         gradient_checkpointing=args.gradient_checkpointing,
         remat_policy=args.remat_policy)
     ldm = LDMTrainingConfig(
-        af_models=True, use_shift_loss=not args.no_shift_loss,
+        af_models=not args.naive, use_shift_loss=not args.no_shift_loss,
         use_ema=True, use_cross_attn=not args.no_shift_loss)
     tr = create_trainer("ldm", base, ldm)
     tr.init_modules(vae_config=vae_cfg, unet_config=unet_cfg,
@@ -115,6 +118,7 @@ def main():
         "gradient_checkpointing": args.gradient_checkpointing,
         "remat_policy": args.remat_policy,
         "af_precision": args.af_precision,
+        "af_models": not args.naive,
         "shift_loss": not args.no_shift_loss,
         "steps_per_s": round(1.0 / best, 4),
         "images_per_s": round(args.batch / best, 3),

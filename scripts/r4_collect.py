@@ -146,21 +146,24 @@ def train_section(out):
     for r in _jsonl("results/bench_train_r4.jsonl"):
         rows[(r.get("batch"), r.get("mixed_precision"),
               r.get("gradient_checkpointing"), r.get("remat_policy"),
-              r.get("af_precision", "highest"))] = r
+              r.get("af_precision", "highest"),
+              r.get("af_models", True), r.get("shift_loss", True))] = r
     out.append("### Training step throughput / MFU (scripts/bench_train.py)")
     if not rows:
         out.append("*pending (relay)*")
         return
-    out.append("| batch | precision | remat | policy | af_prec | img/s | "
-               "TFLOP/s | MFU |")
-    out.append("|---|---|---|---|---|---|---|---|")
+    out.append("| batch | precision | remat | policy | af_prec | variant | "
+               "img/s | TFLOP/s | MFU |")
+    out.append("|---|---|---|---|---|---|---|---|---|")
     for k, r in sorted(rows.items(), key=str):
         mfu = r.get("mfu_vs_197tflops_bf16")
         mfu_s = f"{mfu * 100:.1f}%" if mfu is not None else "?"
+        variant = ("naive" if not r.get("af_models", True) else
+                   "no_shift" if not r.get("shift_loss", True) else "af")
         out.append(f"| {r['batch']} | {r['mixed_precision']} | "
                    f"{r['gradient_checkpointing']} | "
                    f"{r.get('remat_policy', 'full')} | "
-                   f"{r.get('af_precision', 'highest')} | "
+                   f"{r.get('af_precision', 'highest')} | {variant} | "
                    f"{r['images_per_s']} "
                    f"| {r.get('tflop_per_s', '?')} | {mfu_s} |")
 

@@ -94,6 +94,14 @@ stage mfu_b32_default 4800 $PY -u scripts/bench_train.py --batch 32 \
 stage mfu_b64_high 4800 $PY -u scripts/bench_train.py --batch 64 \
     --mixed_precision bf16 --gradient_checkpointing --remat_policy dots \
     --af_precision high || true
+# attribution arms: af tax = af minus naive; shift-loss tax = af minus
+# no_shift (per-op-class table for the MFU "proof of the roof")
+stage mfu_b32_noshift 4800 $PY -u scripts/bench_train.py --batch 32 \
+    --mixed_precision bf16 --gradient_checkpointing --remat_policy dots \
+    --no_shift_loss || true
+stage mfu_b32_naive 4800 $PY -u scripts/bench_train.py --batch 32 \
+    --mixed_precision bf16 --gradient_checkpointing --remat_policy dots \
+    --naive || true
 commit_evidence "Record serve + flash-sweep + training-MFU lever measurements"
 
 # ---- pass 2: extend both arms to the full budget, step-matched chunks ----
