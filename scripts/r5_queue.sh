@@ -129,6 +129,12 @@ commit_evidence "Flagship A/B pass-2 report: full-budget (2020/4500) step-matche
 stage gen_fd_p2_naive 4800 $PY -u scripts/eval_gen_fd.py --arm naive || true
 stage gen_fd_p2_af 4800 $PY -u scripts/eval_gen_fd.py --arm af || true
 commit_evidence "Pass-2 generation-quality FD for both arms"
+# acceptance harness against the trained pass-2 AF pipeline (VERDICT r4
+# item 6): ffhq_shift gets weights=trained provenance; the SR/SD slots run
+# as plumbing-on-random until converted reference checkpoints exist
+stage run_all_r5 9000 $PY -u scripts/run_all_benchmarks.py \
+    --ldm_pipeline_dir results/flagship_ab/af/ldm/pipeline || true
+commit_evidence "results/benchmarks.json: acceptance harness vs trained pass-2 AF pipeline"
 
 echo "R5 QUEUE COMPLETE $(date -u +%H:%M:%S)"
 ls "$Q"

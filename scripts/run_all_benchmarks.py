@@ -214,8 +214,17 @@ def main():
            finite=bool(np.isfinite(out).all()))
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    # merge: r4_collect.py maintains sibling keys (flagship_ab_256px,
+    # flagship_gen_fd) in the same file — never clobber them
+    merged = {}
+    try:
+        with open(args.out) as f:
+            merged = json.load(f)
+    except (FileNotFoundError, ValueError):
+        pass
+    merged.update(results)
     with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(merged, f, indent=2)
     print(f"wrote {args.out}")
 
 
