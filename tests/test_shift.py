@@ -278,3 +278,28 @@ def test_image_downsampler_ideal_roundtrip():
     e_hi = float((np.asarray(x) ** 2).mean())
     e_lo = float((np.asarray(y) ** 2).mean())
     assert abs(e_hi - e_lo) / e_hi < 1e-3
+
+
+@pytest.mark.parametrize("k", [1, 8, 9, 16])
+def test_shift_eval_mask_overhang(k, rng):
+    """The k=8->9 cliff mechanism in the flagship shift eval (BENCH_NOTES
+    round-5 analyses, scripts/diag_shift_cliff.py): an ideal_crop latent
+    shift of k/8 pixels zeroes ceil(k/8) latent columns = 8*ceil(k/8)
+    image pixels, while the eval's image-space PSNR mask only excludes k
+    pixels — the 8*ceil(k/8) - k overhang decodes from zeroed latents and
+    is scored. Pins the mask widths the diagnosis rests on."""
+    import math
+    d = 8
+    lat = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
+    sh = ImageShifter("ideal_crop", upsample_ratio=d)
+    _, lat_mask = jax.jit(lambda z: sh.shift(z, 0.0, k / d))(lat)
+    zero_cols = int((np.asarray(lat_mask)[0, 0, :, 0] == 0).sum())
+    assert zero_cols == math.ceil(k / d)
+
+    img = jnp.asarray(rng.standard_normal((1, 128, 128, 3)), jnp.float32)
+    _, img_mask = jax.jit(lambda x: ImageShifter().shift(x, 0.0,
+                                                         float(k)))(img)
+    zero_px = int((np.asarray(img_mask)[0, 64, :, 0] < 0.5).sum())
+    assert zero_px == k
+    overhang = d * math.ceil(k / d) - k
+    assert overhang == {1: 7, 8: 0, 9: 7, 16: 0}[k]
