@@ -25,6 +25,9 @@ def main():
     p.add_argument("--eval_steps", type=int, default=50)
     p.add_argument("--shift_steps", type=int, default=8)
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--precisions", default="highest,high",
+                   help="comma list from {highest,high,default}; 'highest' "
+                        "is always prepended as the golden arm")
     p.add_argument("--out", default="results/af_precision_eval.json")
     args = p.parse_args()
 
@@ -37,8 +40,12 @@ def main():
     from afldm_tpu.pipelines.loading import load_pipeline
     from afldm_tpu.pipelines.shift_eval import shift_equivariance_eval
 
+    precisions = [s.strip() for s in args.precisions.split(",") if s.strip()]
+    if "highest" not in precisions:
+        precisions.insert(0, "highest")
+
     rows = {}
-    for prec in ("highest", "high"):
+    for prec in precisions:
         set_af_precision(prec)
         try:
             # fresh pipeline per precision: the knob is trace-time and the
@@ -53,10 +60,14 @@ def main():
         psnrs = np.asarray(res.psnrs, np.float64)
         rows[prec] = {"mean_masked_psnr": round(float(psnrs.mean()), 4),
                       "psnrs": [round(float(v), 3) for v in psnrs]}
-    rows["high_minus_highest_db"] = round(
-        rows["high"]["mean_masked_psnr"]
-        - rows["highest"]["mean_masked_psnr"], 4)
-    rows["within_0p1_db"] = abs(rows["high_minus_highest_db"]) <= 0.1
+    for prec in precisions:
+        if prec == "highest":
+            continue
+        rows[f"{prec}_minus_highest_db"] = round(
+            rows[prec]["mean_masked_psnr"]
+            - rows["highest"]["mean_masked_psnr"], 4)
+    if "high" in rows:
+        rows["within_0p1_db"] = abs(rows["high_minus_highest_db"]) <= 0.1
     rows["eval_steps"] = args.eval_steps
     rows["shift_steps"] = args.shift_steps
     print(json.dumps(rows, indent=2))

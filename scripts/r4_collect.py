@@ -121,6 +121,14 @@ def precision_section(out):
                f"{'within' if r['within_0p1_db'] else 'OUTSIDE'} the "
                f"0.1 dB budget) — {r['eval_steps']} eval steps, "
                f"{r['shift_steps']} shifts")
+    for prec, row in r.items():
+        if prec in ("highest", "high") or not isinstance(row, dict):
+            continue
+        delta = r.get(f"{prec}_minus_highest_db")
+        out.append(f"- {prec}: {row['mean_masked_psnr']} dB "
+                   f"({delta:+} dB vs highest, "
+                   f"{'within' if abs(delta) <= 0.1 else 'OUTSIDE'} the "
+                   f"0.1 dB budget)")
 
 
 def flagship_section(out):
