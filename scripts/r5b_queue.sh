@@ -37,8 +37,11 @@ stage() { # stage <name> <timeout_s> <cmd...>
       touch "$Q/$name.done"
       echo "== $name: OK $(date -u +%H:%M:%S)"
       return 0
+    else
+      # rc must be read in the else branch: after `fi` with a failed
+      # condition and no else, $? is the if-statement's own 0
+      rc=$?
     fi
-    rc=$?
     echo "== $name: FAILED/TIMEOUT (rc=$rc) $(date -u +%H:%M:%S) — see $Q/$name.log"
   done
   return 1

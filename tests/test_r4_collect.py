@@ -67,6 +67,23 @@ def test_last_row_wins_and_report(tmp_path, monkeypatch):
     assert bm["flagship_ab_256px"]["weights"] == "trained"
 
 
+def test_precision_ladder_section(tmp_path, monkeypatch):
+    rc = _setup(tmp_path, monkeypatch)
+    (tmp_path / "results" / "af_precision_eval.json").write_text(json.dumps({
+        "highest": {"mean_masked_psnr": 27.3378},
+        "high": {"mean_masked_psnr": 27.3516},
+        "default": {"mean_masked_psnr": 27.1,
+                    "psnrs": [27.0, 27.2]},  # extra keys must not render
+        "high_minus_highest_db": 0.0138,
+        "default_minus_highest_db": -0.2378,
+        "within_0p1_db": True, "eval_steps": 50, "shift_steps": 8}))
+    rc.main()
+    text = (tmp_path / "BENCH_NOTES.md").read_text()
+    assert "high: 27.3516 dB (+0.0138 dB, within" in text
+    # the extra arm renders with its own delta and budget verdict
+    assert "- default: 27.1 dB (-0.2378 dB vs highest, OUTSIDE" in text
+
+
 def test_serve_section(tmp_path, monkeypatch):
     rc = _setup(tmp_path, monkeypatch)
     (tmp_path / "results" / "bench_serve.json").write_text(json.dumps({
