@@ -25,6 +25,10 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--translate_max", type=float, default=0.125)
     p.add_argument("--pipeline_dir", type=str, default=None)
+    p.add_argument("--use_ema", action="store_true",
+                   help="load EMA weights (match the flagship eval)")
+    p.add_argument("--out", type=str, default=None,
+                   help="write the metrics as JSON")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args()
 
@@ -37,7 +41,7 @@ def main():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if args.pipeline_dir:
-        pipe = load_pipeline(args.pipeline_dir)
+        pipe = load_pipeline(args.pipeline_dir, use_ema=args.use_ema)
     else:
         ucfg = json.load(open(os.path.join(root,
                                            "configs/ldm/model_unet.json")))
@@ -89,6 +93,16 @@ def main():
         img_res, translate_max=args.translate_max,
         compute_eqt_int=True, compute_eqt_frac=True)
     print(f"EQ-T: {psnrs[0]:.3f} dB  EQ-T_frac: {psnrs[1]:.3f} dB")
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"eq_t_db": round(float(psnrs[0]), 3),
+                       "eq_t_frac_db": round(float(psnrs[1]), 3),
+                       "num_samples": args.num_samples,
+                       "steps": args.steps,
+                       "translate_max": args.translate_max,
+                       "use_ema": args.use_ema,
+                       "pipeline_dir": args.pipeline_dir}, f, indent=2)
 
 
 if __name__ == "__main__":

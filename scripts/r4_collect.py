@@ -228,6 +228,25 @@ def gen_fd_section(out):
         out.append("*pending (relay: runs after the A/B arms train)*")
 
 
+def eq_metrics_section(out):
+    rows = {arm: _json(f"results/eq_metrics_{arm}.json")
+            for arm in ("naive", "af")}
+    if not any(rows.values()):
+        return  # optional bonus evidence: omit entirely until measured
+    out.append("### StyleGAN-3 EQ metrics on the trained arms "
+               "(scripts/eval_equivariance.py — the reference ships "
+               "compute_equivariance_metrics but never invokes it)")
+    for arm, r in rows.items():
+        if not r:
+            out.append(f"- {arm}: *pending (relay)*")
+            continue
+        out.append(f"- {arm}: EQ-T {r['eq_t_db']} dB, EQ-T_frac "
+                   f"{r['eq_t_frac_db']} dB ({r['num_samples']} samples, "
+                   f"{r['steps']} steps, translate_max "
+                   f"{r['translate_max']})")
+    out.append("")
+
+
 def serve_section(out):
     r = _json("results/bench_serve.json")
     out.append("### Serving throughput (scripts/bench_serve.py, "
@@ -303,6 +322,7 @@ def main():
     out.append("")
     gen_fd_section(out)
     out.append("")
+    eq_metrics_section(out)
     sweep_section(out)
     out.append("")
     serve_section(out)

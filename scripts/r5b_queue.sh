@@ -58,6 +58,7 @@ commit_evidence() { # commit_evidence <message>
       results/flagship_ab/*/eval.json results/flagship_ab/*/gen_fd.json \
       results/flagship_ab/*/gen_fd_p1.json \
       results/flagship_ab/*/diag_shift_cliff.json \
+      results/eq_metrics_naive.json results/eq_metrics_af.json \
       results/flagship_ab/*/shift_small.gif; do
     [ -e "$f" ] && git add -f "$f"
   done
@@ -86,6 +87,14 @@ stage mfu_b48_default 4800 $PY -u scripts/bench_train.py --batch 48 \
 stage mfu_b40_default 4800 $PY -u scripts/bench_train.py --batch 40 \
     --mixed_precision bf16 --gradient_checkpointing --remat_policy dots \
     --af_precision default || true
-commit_evidence "Record pass-2 af-precision ladder + batch-roof MFU probes"
+# bonus A/B axis: StyleGAN-3 EQ-T / EQ-T_frac on the trained pass-2 arms
+# (the reference ships these metrics but never invokes them)
+for arm in naive af; do
+  stage eq_metrics_${arm} 4800 $PY -u scripts/eval_equivariance.py \
+      --pipeline_dir results/flagship_ab/${arm}/ldm/pipeline --use_ema \
+      --num_samples 16 --steps 20 --out results/eq_metrics_${arm}.json \
+      || true
+done
+commit_evidence "Record pass-2 af-precision ladder + batch-roof MFU probes + EQ-T metrics"
 
 echo "R5B QUEUE COMPLETE $(date -u +%H:%M:%S)"
