@@ -200,6 +200,56 @@ def test_train_cli_smoke(tmp_path):
     assert ckpts, os.listdir(tmp_path / "o")
 
 
+def test_spike_guard_logs_ratio(tmp_path):
+    """--spike_guard reports loss_spike_ratio once >=50 steps of history
+    exist (the guard behind BENCH_NOTES' shift-loss-variance analysis)."""
+    import subprocess, sys
+    cfg = {"base": {"logging_dir": "logs", "output_dir": str(tmp_path / "o"),
+                    "train_batch_size": 2, "resolution": 16,
+                    "num_epochs": 9, "checkpointing_steps": 1000,
+                    "save_model_epochs": 100, "seed": 0},
+           "ldm": {"vae_path": "", "scheduler_path": "",
+                   "unet_config": "", "af_models": False,
+                   "use_shift_loss": False, "learning_rate": 1e-3}}
+    ucfg = {"sample_size": 8, "in_channels": 4, "out_channels": 4,
+            "down_block_types": ["DownBlock2D"],
+            "up_block_types": ["UpBlock2D"],
+            "block_out_channels": [8], "layers_per_block": 1,
+            "attention_head_dim": 4, "norm_num_groups": 4,
+            "add_attention": False}
+    vcfg = {"block_out_channels": [8, 8], "layers_per_block": 1,
+            "latent_channels": 4, "norm_num_groups": 4, "sample_size": 16,
+            "scaling_factor": 0.6, "up_rescale": [True],
+            "down_filtered_act": [False, False],
+            "up_filtered_act": [False, False]}
+    (tmp_path / "unet.json").write_text(json.dumps(ucfg))
+    (tmp_path / "vae").mkdir()
+    (tmp_path / "vae" / "config.json").write_text(json.dumps(vcfg))
+    (tmp_path / "sched.json").write_text(
+        json.dumps({"num_train_timesteps": 100}))
+    cfg["ldm"]["unet_config"] = str(tmp_path / "unet.json")
+    cfg["ldm"]["vae_path"] = str(tmp_path / "vae")
+    cfg["ldm"]["scheduler_path"] = str(tmp_path / "sched.json")
+    (tmp_path / "cfg.json").write_text(json.dumps(cfg))
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "train.py"),
+         str(tmp_path / "cfg.json"), "--max_steps", "62",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600, cwd=root, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(l) for l in
+            open(tmp_path / "o" / "logs" / "metrics.jsonl")]
+    # windows before history fills must NOT carry the ratio; later must
+    early = [r for r in rows if r["step"] <= 40]
+    late = [r for r in rows if r["step"] >= 60]
+    assert early and all("loss_spike_ratio" not in r for r in early), early
+    assert late and all(
+        np.isfinite(r["loss_spike_ratio"]) for r in late), late
+
+
 def test_scale_lr(tmp_path):
     """scale_lr multiplies lr by grad_accum * batch (ldm_trainer.py:163)."""
     from afldm_tpu.train.trainer import make_optimizer
