@@ -236,9 +236,14 @@ def _flash_bwd_3d(q, k, v, do, lse, delta, scale, block_q, block_k):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def sdpa_flash(q, k, v, scale=None, block_q=512, block_k=1024):
+def sdpa_flash(q, k, v, scale=None, block_q=1024, block_k=1024):
     """Flash SDPA. q: (..., Lq, D), k/v: (..., Lk, D); leading dims are
-    flattened into the kernel batch. Equals sdpa_xla to ~1e-6 f32."""
+    flattened into the kernel batch. Equals sdpa_xla to ~1e-6 f32.
+
+    Default blocks (1024, 1024): winner of the bwd-inclusive sweep at the
+    4096-token flagship shape (results/bench_flash_bwd_sweep.json —
+    1.038x bf16 / 1.081x f32 over (512, 1024) on the full grad chain;
+    fwd-only sweeps agree, results/bench_flash_sweep.json)."""
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
     lead = q.shape[:-2]
@@ -372,7 +377,12 @@ def sdpa2_flash(q, k0, v0, k1, v1, alpha, scale=None, block_q=512,
 
     q: (..., Lq, D); k*/v*: (..., Lk, D) (both KV sets share Lk — the CFA
     caches store same-length maps); alpha: scalar or broadcastable to the
-    leading dims (per-frame interpolation weights)."""
+    leading dims (per-frame interpolation weights).
+
+    Default blocks stay (512, 1024) — unlike sdpa_flash: this kernel
+    holds TWO f32 score tiles, and (1024, 1024) fails to compile (VMEM)
+    at f32/D=160 on v5e (probed twice), for a measured bf16 win of only
+    2.3% (results/bench_flash_sweep.json)."""
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
     lead = q.shape[:-2]
@@ -418,10 +428,13 @@ def _sdpa2_bwd(scale, block_q, block_k, res, g):
     q, k0, v0, k1, v1, alpha = res
 
     def ref(q, k0, v0, k1, v1, alpha):
+        # out_dtype=q.dtype: the fused forward returns q.dtype, so the
+        # incoming cotangent g is q.dtype — the recomputed reference must
+        # match or jax.vjp rejects g (bf16 inputs used to raise here)
         return _sdpa2_twopass(
             q, k0, v0, k1, v1, alpha,
             lambda q, k, v, s: sdpa_flash(q, k, v, s, block_q, block_k),
-            scale)
+            scale, out_dtype=q.dtype)
 
     return jax.vjp(ref, q, k0, v0, k1, v1, alpha)[1](g)
 
@@ -439,8 +452,10 @@ def sdpa2_xla(q, k0, v0, k1, v1, alpha, scale=None):
 
 def sdpa2(q, k0, v0, k1, v1, alpha, scale=None):
     """Dispatching two-KV blended SDPA (the CFA-interp attention)."""
-    if (_IMPL != "xla" and flash_supported(q.shape, k0.shape)
+    if (_IMPL != "xla" and flash_supported(q.shape, k0.shape, 512, 1024)
             and k0.shape == k1.shape):
+        # gate with sdpa2_flash's own (512, 1024) blocks — its default
+        # differs from sdpa_flash's (two score tiles, see sdpa2_flash)
         forced = _IMPL == "flash"
         bh = int(np.prod(q.shape[:-2])) if q.ndim > 2 else 1
         long_q = q.shape[-2] >= _FLASH_MIN_Q or (
@@ -501,7 +516,7 @@ def set_attention_impl(impl: str):
     _IMPL = impl
 
 
-def flash_supported(q_shape, k_shape, block_q=512, block_k=1024) -> bool:
+def flash_supported(q_shape, k_shape, block_q=1024, block_k=1024) -> bool:
     Lq, D = q_shape[-2:]
     Lk = k_shape[-2]
     if not _interpret() and (Lq % 8 or Lk % 8):

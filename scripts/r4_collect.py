@@ -205,6 +205,35 @@ def sweep_section(out):
                    f"~{r['mem_share'] * 100:.0f}%")
 
 
+def bwd_sweep_section(out):
+    d = _json("results/bench_flash_bwd_sweep.json")
+    out.append("### Flash-kernel bwd-inclusive block sweep "
+               "(scripts/bench_flash_bwd_sweep.py; full value-and-grad "
+               "scan chain = fwd + dq + dkv kernels, the training usage)")
+    if not d:
+        out.append("*pending (relay)*")
+        return
+    rows = [r for r in d.get("rows", []) if r.get("kind") == "bwd_sweep"]
+    if rows:
+        out.append("| dtype | block_q | block_k | grad ms | fwd ms | "
+                   "bwd ms |")
+        out.append("|---|---|---|---|---|---|")
+        for r in sorted(rows, key=lambda r: (r["dtype"], r["bq"], r["bk"])):
+            if "grad_ms" in r:
+                out.append(f"| {r['dtype']} | {r['bq']} | {r['bk']} | "
+                           f"{r['grad_ms']} | {r['fwd_ms']} | "
+                           f"{r['bwd_ms']} |")
+            else:
+                out.append(f"| {r['dtype']} | {r['bq']} | {r['bk']} | "
+                           f"error: {r.get('error', '?')[:60]} | | |")
+    for r in d.get("rows", []):
+        if r.get("kind") == "summary":
+            out.append(f"- {r['dtype']}: best block "
+                       f"{tuple(r['best_block'])} at {r['best_grad_ms']} "
+                       f"ms vs (512, 1024) default {r['default_grad_ms']} "
+                       f"ms = {r['speedup_vs_default']}x")
+
+
 def gen_fd_section(out):
     out.append("### Generation-quality Frechet distance "
                "(scripts/eval_gen_fd.py; pixel + random-VGG features "
@@ -324,6 +353,8 @@ def main():
     out.append("")
     eq_metrics_section(out)
     sweep_section(out)
+    out.append("")
+    bwd_sweep_section(out)
     out.append("")
     serve_section(out)
     out.append("")

@@ -48,6 +48,22 @@ def test_flash_grad_matches_xla():
                                    atol=5e-6, rtol=1e-4)
 
 
+def test_flash_grad_multiblock_1024():
+    """Grad correctness with >1 q-block AND >1 k-block at the shipped
+    (1024, 1024) default (bwd-inclusive sweep winner — both bwd kernels
+    iterate their revisit axes at these block sizes)."""
+    q = _rand((1, 1, 2048, 16), seed=10)
+    k = _rand((1, 1, 2048, 16), seed=11)
+    v = _rand((1, 1, 2048, 16), seed=12)
+    gr = jax.grad(lambda *a: (sdpa_xla(*a) ** 2).sum(), (0, 1, 2))(q, k, v)
+    gf = jax.jit(jax.grad(
+        lambda *a: (sdpa_flash(*a, None, 1024, 1024) ** 2).sum(),
+        (0, 1, 2)))(q, k, v)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-6, rtol=1e-4)
+
+
 def test_flash_bf16():
     q = _rand((2, 2, 512, 40), jnp.bfloat16, seed=7)
     k = _rand((2, 2, 512, 40), jnp.bfloat16, seed=8)
@@ -81,9 +97,14 @@ def test_dispatch():
         out = jax.jit(sdpa)(q, q, q)
         np.testing.assert_allclose(np.asarray(out),
                                    np.asarray(sdpa_xla(q, q, q)), atol=2e-6)
+        # 1000 <= block_q=1024 runs as one full-length (8-aligned) block
+        odd = _rand((1, 1, 1000, 16), seed=14)
+        np.testing.assert_allclose(np.asarray(sdpa(odd, odd, odd)),
+                                   np.asarray(sdpa_xla(odd, odd, odd)),
+                                   atol=2e-6, rtol=1e-5)
         with pytest.raises(ValueError):
-            # 1000 has no >=128 power-of-two-fraction block divisor
-            bad = _rand((1, 1, 1000, 16), seed=14)
+            # 2000 > 1024 and has no >=128 power-of-two-fraction divisor
+            bad = _rand((1, 1, 2000, 16), seed=14)
             sdpa(bad, bad, bad)
     finally:
         set_attention_impl("auto")
@@ -95,7 +116,9 @@ def test_flash_supported_gate():
     assert flash_supported((1, 1, 384, 40), (1, 1, 384, 40))
     # ragged long lengths shrink the block to a dividing fraction
     assert flash_supported((1, 1, 1536, 40), (1, 1, 1536, 40))
-    assert not flash_supported((1, 1, 1000, 40), (1, 1, 1000, 40))
+    # 1000 <= block_q=1024: admitted as one full-length 8-aligned block
+    assert flash_supported((1, 1, 1000, 40), (1, 1, 1000, 40))
+    assert not flash_supported((1, 1, 2000, 40), (1, 1, 2000, 40))
     assert not flash_supported((1, 1, 4096, 300), (1, 1, 4096, 300))
 
 
@@ -183,6 +206,29 @@ def test_sdpa2_grad_matches_xla():
     for a_, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_sdpa2_grad_bf16():
+    """bf16 grads through the fused kernel: the VJP recompute must return
+    q.dtype (it used to blend in f32 and reject the bf16 cotangent)."""
+    from afldm_tpu.ops.attention import sdpa2_flash, sdpa2_xla
+    args = [_rand((1, 2, 256, 32), jnp.bfloat16, seed=s)
+            for s in (6, 7, 8, 9, 10)]
+    a = jnp.float32(0.3)
+
+    def loss(f):
+        return lambda *x: jnp.sum(
+            jnp.square(f(*x, a).astype(jnp.float32)))
+
+    g1 = jax.jit(jax.grad(loss(sdpa2_flash), argnums=(0, 1, 2, 3, 4)))(
+        *args)
+    g2 = jax.jit(jax.grad(loss(sdpa2_xla), argnums=(0, 1, 2, 3, 4)))(
+        *args)
+    for a_, b_ in zip(g1, g2):
+        assert a_.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(a_, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   atol=5e-2, rtol=1e-1)
 
 
 def test_attention_block_interp_fused_path():
