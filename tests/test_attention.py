@@ -208,6 +208,26 @@ def test_sdpa2_grad_matches_xla():
                                    atol=2e-4, rtol=1e-3)
 
 
+def test_sdpa2_gate_uses_own_blocks():
+    """sdpa admits L=1000 as one full-length 1024-block, but sdpa2's
+    kernel runs (512, 1024) blocks where 1000 has no divisor — the sdpa2
+    dispatcher must gate with ITS blocks (fall back / fail loud, never
+    reach the kernel's block assert)."""
+    from afldm_tpu.ops.attention import sdpa2, sdpa2_xla
+    x = [_rand((1, 2, 1000, 16), seed=s) for s in (1, 2, 3, 4, 5)]
+    a = jnp.float32(0.4)
+    out = sdpa2(*x, a)      # auto: silently XLA
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(sdpa2_xla(*x, a)),
+                               atol=1e-6, rtol=1e-5)
+    set_attention_impl("flash")
+    try:
+        with pytest.raises(ValueError):
+            sdpa2(*x, a)
+    finally:
+        set_attention_impl("auto")
+
+
 def test_sdpa2_grad_bf16():
     """bf16 grads through the fused kernel: the VJP recompute must return
     q.dtype (it used to blend in f32 and reject the bf16 cotangent)."""
