@@ -382,7 +382,11 @@ _PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
 
 def set_af_precision(p: str):
     """'highest' (default, exact to ~1e-6), 'high' (~2e-4, ~MXU 2x at VAE
-    sizes), or 'default' (1-pass bf16, ~1e-2 — benchmarking only)."""
+    sizes), or 'default' (1-pass bf16, ~1e-2 per op — measured WITHIN the
+    0.1 dB equivariance budget end-to-end: +0.017 dB eval PSNR and 1.30x
+    on the b8 bf16 denoise step vs 'highest' on the trained pass-2 AF
+    pipeline, BENCH_NOTES.md; the training knob is BaseConfig.af_precision,
+    the serving knob is load_pipeline(af_precision=...))."""
     global _AF_PRECISION
     _AF_PRECISION = _PRECISIONS[p]
 

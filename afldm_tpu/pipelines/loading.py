@@ -46,13 +46,25 @@ def init_random_pipeline(unet_config, vae_config, scheduler_config,
 
 
 def load_pipeline(pipeline_dir, cls=LDMPipeline, scheduler_config=None,
-                  use_ema=True, dtype=jnp.float32, allow_random=False):
+                  use_ema=True, dtype=jnp.float32, allow_random=False,
+                  af_precision=None):
     """Load a pipeline saved by a trainer's ``save_pipeline``.
 
     Fails loud (VERDICT r3 item 4): a missing ``checkpoint-{n}`` dir or a
     missing unet/vae param subtree raises unless ``allow_random=True`` —
     the repo's acceptance metrics are PSNR numbers, and a typo'd path must
-    never silently score random weights."""
+    never silently score random weights.
+
+    ``af_precision`` ('highest'|'high'|'default') is the serving-side
+    counterpart of ``BaseConfig.af_precision``: it sets the process-wide
+    circulant-matmul MXU precision (ops.set_af_precision) before the
+    pipeline traces. 'default' measured +0.017 dB eval PSNR (within the
+    0.1 dB budget) and 1.30x on the b8 bf16 denoise step vs 'highest' on
+    the trained pass-2 AF pipeline (BENCH_NOTES.md, results/
+    af_precision_eval.json). None leaves the global untouched (exact)."""
+    if af_precision is not None:
+        from ..ops import set_af_precision
+        set_af_precision(af_precision)
     from ..train.checkpoint import (latest_checkpoint,
                                     restore_checkpoint_lenient)
 

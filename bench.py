@@ -247,11 +247,27 @@ def main():
                 sps, 3)
             print(f"sd unet b2 attn={impl}: {sps:.2f} steps/s",
                   file=sys.stderr)
+        # af_precision='default' (single-pass bf16 circulant matmuls):
+        # measured within the 0.1 dB equivariance budget on the trained
+        # pass-2 AF pipeline (+0.017 dB vs 'highest' — results/
+        # af_precision_eval.json), and 1.30x on the b8 bf16 denoise step
+        # (roofline attribution). The serving-side counterpart of the
+        # training-config knob; golden tests keep the exact default.
+        from afldm_tpu.ops import set_af_precision
+        set_af_precision("default")
+        try:
+            for batch in (1, 8):
+                d = measure("tpu", batch=batch, dtype=jnp.bfloat16,
+                            cast_params=True, return_details=True)
+                extras[f"unet_denoise_b{batch}_bf16_afprec_default"] = d
+                print(f"unet b{batch} bf16 afprec=default: {d}",
+                      file=sys.stderr)
+        finally:
+            set_af_precision("highest")
         extras["vae_enc_dec_b4_f32_img_per_s"] = round(measure_vae(), 3)
         extras["vae_enc_dec_b4_bf16_img_per_s"] = round(
             measure_vae(dtype=jnp.bfloat16), 3)
-        # 3-pass circulant matmuls (~4e-5 err vs exact): the serving knob
-        from afldm_tpu.ops import set_af_precision
+        # 3-pass circulant matmuls (~4e-5 err vs exact)
         set_af_precision("high")
         try:
             extras["vae_enc_dec_b4_f32_high_img_per_s"] = round(

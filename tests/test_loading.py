@@ -348,3 +348,29 @@ def test_load_pipeline_fails_loud_on_missing_subtree(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(pipe.unet_params),
                     jax.tree_util.tree_leaves(ref.unet_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_load_pipeline_af_precision_knob(tmp_path):
+    """load_pipeline(af_precision=...) is the serving-side counterpart of
+    BaseConfig.af_precision: it reconfigures the process-global circulant
+    MXU precision before the pipeline traces; None leaves it untouched."""
+    from afldm_tpu.ops.ideal_lpf import af_precision, set_af_precision
+
+    out = tmp_path / "pipeline"
+    os.makedirs(out)
+    with open(out / "unet_config.json", "w") as f:
+        json.dump(TINY_UNET.to_dict(), f)
+    with open(out / "vae_config.json", "w") as f:
+        json.dump(TINY_VAE.to_dict(), f)
+
+    assert af_precision() == jax.lax.Precision.HIGHEST
+    try:
+        load_pipeline(str(out), allow_random=True, af_precision="default")
+        assert af_precision() == jax.lax.Precision.DEFAULT
+        # None must not reset an operator-chosen setting
+        load_pipeline(str(out), allow_random=True)
+        assert af_precision() == jax.lax.Precision.DEFAULT
+        with pytest.raises(KeyError):
+            load_pipeline(str(out), allow_random=True, af_precision="bogus")
+    finally:
+        set_af_precision("highest")
